@@ -1,0 +1,179 @@
+"""PageRank as checkpointed DataFrame supersteps (north rule G14).
+
+Absent from the reference (SURVEY.md §2.8 G14); its structural template is the
+reference's EM convergence loop (``generate_embeddings.py:165-188`` — iterate,
+L1-delta stop at tolerance).
+
+Semantics: weighted PageRank, damping ``d`` (default 0.85), uniform teleport,
+dangling mass redistributed uniformly, convergence when
+``sum(abs(rank_k - rank_{k-1})) < tol`` (L1, default 1e-6).
+
+Scale design:
+- **Loop-invariant edge prep**: ``edges_norm(src, dst, frac, salt)`` —
+  contribution fraction precomputed once, hash-partitioned on the join key and
+  persisted, so each superstep's join reuses the same partitioning.
+- **Skew (hub) handling**: sources with out-degree ≥ ``hub_threshold`` get
+  per-edge salt buckets; only hub rank rows are replicated across salts
+  (``explode``), so a hub's adjacency fans out over ``num_salts`` shuffle
+  partitions instead of serializing one (SURVEY.md §4 item 1).
+- **One superstep = one join + one partial-aggregated groupBy**; the L1 delta
+  is fused into the engine's single materialization action. The dangling-mass
+  scalar is a cheap filter+sum on the cached O(V) state.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.plans.superstep import SuperstepResult, iterate
+from pybiodatafuse_spark.storage import Storage
+
+
+def _prepare(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    num_salts: int,
+    hub_threshold: int,
+    shuffle_partitions: int | None,
+):
+    out_w = edges.groupBy("src").agg(
+        F.sum("weight").alias("out_w"), F.count(F.lit(1)).alias("out_deg")
+    )
+    hubs = out_w.where(F.col("out_deg") >= hub_threshold).select(
+        F.col("src").alias("id"), F.lit(True).alias("is_hub")
+    )
+    edges_norm = (
+        edges.join(out_w, "src")
+        .join(F.broadcast(hubs), edges["src"] == hubs["id"], "left")
+        .select(
+            edges["src"],
+            edges["dst"],
+            (F.col("weight") / F.col("out_w")).alias("frac"),
+            F.when(
+                F.col("is_hub"), F.pmod(F.xxhash64("dst"), F.lit(num_salts))
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+    )
+    if shuffle_partitions:
+        edges_norm = edges_norm.repartition(shuffle_partitions, "src", "salt")
+    edges_norm = edges_norm.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if vertices is not None:
+        verts = vertices.select("id").dropDuplicates(["id"])
+    else:
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .dropDuplicates(["id"])
+        )
+    init = (
+        verts.join(out_w.select(F.col("src").alias("id"), "out_deg"), "id", "left")
+        .join(F.broadcast(hubs), "id", "left")
+        .select(
+            "id",
+            F.col("out_deg").isNull().alias("is_dangling"),
+            F.coalesce(F.col("is_hub"), F.lit(False)).alias("is_hub"),
+        )
+    )
+    return edges_norm, init
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iter: int = 100,
+    num_salts: int = 8,
+    hub_threshold: int = 1000,
+    storage: Storage | None = None,
+    run_id: str | None = None,
+    checkpoint_every: int = 5,
+    shuffle_partitions: int | None = None,
+) -> SuperstepResult:
+    """Returns SuperstepResult whose state is ``(id, rank, prev_rank, ...)``.
+
+    ``edges(src, dst, weight, ...)``; ``vertices(id, ...)`` optional (defaults
+    to edge endpoints). Ranks sum to 1.
+    """
+    edges_norm, init = _prepare(
+        edges, vertices, num_salts, hub_threshold, shuffle_partitions
+    )
+    n = init.count()
+    if n == 0:
+        raise ValueError("pagerank: empty vertex set")
+    state0 = init.select(
+        "id",
+        F.lit(1.0 / n).alias("rank"),
+        F.lit(0.0).alias("prev_rank"),
+        "is_dangling",
+        "is_hub",
+    )
+    salts = F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")
+
+    def step(state: DataFrame, k: int) -> tuple[DataFrame, Column]:
+        dm_row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
+        dangling_mass = float(dm_row["m"]) if dm_row and dm_row["m"] is not None else 0.0
+        ranks_salted = state.select(
+            "id",
+            "rank",
+            F.explode(
+                F.when(F.col("is_hub"), salts).otherwise(F.array(F.lit(0).cast("int")))
+            ).alias("salt"),
+        )
+        contribs = (
+            ranks_salted.join(
+                edges_norm,
+                (ranks_salted["id"] == edges_norm["src"])
+                & (ranks_salted["salt"] == edges_norm["salt"]),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+            .withColumnRenamed("dst", "id")
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_state = (
+            state.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+                F.col("rank").alias("prev_rank"),
+                "is_dangling",
+                "is_hub",
+            )
+        )
+        delta = F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+        return new_state, delta
+
+    result = iterate(
+        spark,
+        state0,
+        step,
+        algorithm="pagerank",
+        max_iter=max_iter,
+        tol=tol,
+        checkpoint_every=checkpoint_every,
+        storage=storage,
+        run_id=run_id,
+    )
+    edges_norm.unpersist()
+    return result
+
+
+def top_ranks(result: SuperstepResult, k: int = 20) -> DataFrame:
+    """Top-k vertices by rank, deterministic tie-break on id (TakeOrdered —
+    no global sort materialization)."""
+    return (
+        result.state.select("id", "rank")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(k)
+    )

@@ -1,0 +1,158 @@
+"""Generic checkpointed-iteration (superstep) engine — SURVEY.md §7 step 4.
+
+Structural template taken from the reference's only convergence-driven loop,
+DREAMwalk EM training (``/root/reference/src/pyBiodatafuse/algorithms/DREAMwalk/
+generate_embeddings.py:165-188``: iterate → L1-delta convergence test →
+persist), restated for Spark:
+
+    state_{k+1} = step_fn(state_k, k)        # pure DataFrame program
+    materialize (persist + single fused agg action → rows_out, L1 delta)
+    every `checkpoint_every` steps: write snapshot (lineage truncation + resume
+    point) and log per-partition lineage + metrics to the run_metadata table
+    stop when delta < tol or k == max_iter
+
+Design notes:
+- ONE action per superstep: ``agg(count(*), <delta_expr>)`` on the persisted
+  new state; per-partition row counts are a second cheap action on cached
+  data when ``partition_metrics`` is on.
+- Lineage is truncated either by the storage checkpoint (parquet/Iceberg
+  round-trip) or, without storage, ``localCheckpoint`` — iterative plans
+  otherwise grow O(k) and stall the optimizer (SURVEY.md §4 item 2).
+- Resume: :func:`resume` restarts from the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.storage import Storage, new_run_id
+
+StepFn = Callable[[DataFrame, int], tuple[DataFrame, Column | None]]
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    supersteps: int
+    deltas: list[float] = field(default_factory=list)
+    run_id: str = ""
+    converged: bool = False
+
+
+def _partition_rows(df: DataFrame) -> dict[int, int]:
+    rows = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    return {r["pid"]: r["count"] for r in rows}
+
+
+def iterate(
+    spark: SparkSession,
+    state: DataFrame,
+    step_fn: StepFn,
+    *,
+    algorithm: str,
+    max_iter: int,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+    storage: Storage | None = None,
+    run_id: str | None = None,
+    start_step: int = 0,
+    partition_metrics: bool = True,
+) -> SuperstepResult:
+    """Run ``step_fn`` to convergence. ``step_fn(state, k)`` returns
+    ``(new_state, delta_expr)`` where ``delta_expr`` is an aggregate Column
+    over ``new_state`` evaluating to the L1 delta (or None → no convergence
+    test, run ``max_iter`` steps)."""
+    run_id = run_id or new_run_id()
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    rows_in = state.count()
+    deltas: list[float] = []
+    converged = False
+    step = start_step
+    for step in range(start_step + 1, max_iter + 1):
+        t0 = time.monotonic()
+        new_state, delta_expr = step_fn(state, step)
+        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if delta_expr is not None:
+            aggs.append(delta_expr.alias("_delta"))
+        row = new_state.agg(*aggs).first()
+        rows_out = row["_n"]
+        delta = float(row["_delta"]) if delta_expr is not None and row["_delta"] is not None else None
+        if delta is not None:
+            deltas.append(delta)
+        hit_tol = tol is not None and delta is not None and delta < tol
+        is_checkpoint = (
+            storage is not None
+            and (step % checkpoint_every == 0 or hit_tol or step == max_iter)
+        )
+        ckpt_path = None
+        if is_checkpoint:
+            ckpt_path = storage.write_checkpoint(new_state, algorithm, run_id, step)
+            reloaded = storage.read_checkpoint(spark, algorithm, run_id, step)
+            new_state.unpersist()
+            new_state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
+        elif storage is None and step % checkpoint_every == 0:
+            truncated = new_state.localCheckpoint(eager=True)
+            new_state.unpersist()
+            new_state = truncated
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        if storage is not None:
+            storage.log_metrics(
+                spark,
+                run_id=run_id,
+                algorithm=algorithm,
+                superstep=step,
+                rows_in=rows_in,
+                rows_out=rows_out,
+                l1_delta=delta,
+                wall_ms=wall_ms,
+                checkpoint_path=ckpt_path,
+                partition_rows=_partition_rows(new_state) if partition_metrics else None,
+            )
+        state.unpersist()
+        state = new_state
+        rows_in = rows_out
+        if hit_tol:
+            converged = True
+            break
+    return SuperstepResult(
+        state=state, supersteps=step, deltas=deltas, run_id=run_id, converged=converged
+    )
+
+
+def resume(
+    spark: SparkSession,
+    storage: Storage,
+    step_fn: StepFn,
+    *,
+    algorithm: str,
+    run_id: str,
+    max_iter: int,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+    partition_metrics: bool = True,
+) -> SuperstepResult:
+    """Resume an interrupted run from its last committed snapshot."""
+    last = storage.last_checkpoint_step(algorithm, run_id)
+    if last is None:
+        raise FileNotFoundError(f"no checkpoint for {algorithm}/{run_id}")
+    state = storage.read_checkpoint(spark, algorithm, run_id, last)
+    return iterate(
+        spark,
+        state,
+        step_fn,
+        algorithm=algorithm,
+        max_iter=max_iter,
+        tol=tol,
+        checkpoint_every=checkpoint_every,
+        storage=storage,
+        run_id=run_id,
+        start_step=last,
+        partition_metrics=partition_metrics,
+    )

@@ -1,0 +1,121 @@
+"""Pure-Python differential oracles (SURVEY.md §5 strategy item 2).
+
+Small-scale reference implementations of each graph algorithm, written
+independently of the Spark plans (plain dict/numpy), mirroring the reference's
+golden-frame test style (/root/reference/tests/graph/test_rdf.py:23-60)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+
+def pagerank_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: set[int],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+) -> dict[int, float]:
+    """Weighted PageRank, uniform teleport, uniform dangling redistribution,
+    L1 convergence — same semantics as plans/pagerank.py."""
+    n = len(vertices)
+    out_w: dict[int, float] = defaultdict(float)
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for s, d, w in edges:
+        out_w[s] += w
+        adj[s].append((d, w))
+    rank = {v: 1.0 / n for v in vertices}
+    for _ in range(max_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out_w)
+        contrib: dict[int, float] = defaultdict(float)
+        for s, nbrs in adj.items():
+            rs = rank[s] / out_w[s]
+            for d, w in nbrs:
+                contrib[d] += rs * w
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = {v: base + damping * contrib.get(v, 0.0) for v in vertices}
+        delta = sum(abs(new[v] - rank[v]) for v in vertices)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+def components_oracle(
+    edges: list[tuple[int, int]], vertices: set[int]
+) -> dict[int, int]:
+    """Union-find; component id = min vertex id in component."""
+    parent = {v: v for v in vertices}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict[int, int] = {}
+    comp_min: dict[int, int] = {}
+    for v in vertices:
+        r = find(v)
+        roots[v] = r
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[roots[v]] for v in vertices}
+
+
+def lpa_oracle(
+    edges: list[tuple[int, int]], vertices: set[int], max_iter: int = 10
+) -> dict[int, int]:
+    """Synchronous label propagation over the undirected graph; label init =
+    vertex id; new label = most frequent neighbor label, ties broken by min
+    label; isolated vertices keep their own label; fixed iteration cap."""
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    label = {v: v for v in vertices}
+    for _ in range(max_iter):
+        counts = {}
+        for v in vertices:
+            if not nbrs[v]:
+                continue
+            c = Counter(label[u] for u in nbrs[v])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            counts[v] = best
+        changed = any(counts.get(v, label[v]) != label[v] for v in vertices)
+        label = {v: counts.get(v, label[v]) for v in vertices}
+        if not changed:
+            break
+    return label
+
+
+def triangles_oracle(
+    edges: list[tuple[int, int]], vertices: set[int]
+) -> tuple[int, dict[int, int]]:
+    """Exact triangle count over the undirected simple graph (total, per-vertex)."""
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    per = {v: 0 for v in vertices}
+    total = 0
+    seen = set()
+    for v in vertices:
+        for u in nbrs[v]:
+            if u <= v:
+                continue
+            for w in nbrs[v] & nbrs[u]:
+                if w > u:
+                    tri = (v, u, w)
+                    if tri not in seen:
+                        seen.add(tri)
+                        total += 1
+                        per[v] += 1
+                        per[u] += 1
+                        per[w] += 1
+    return total, per
