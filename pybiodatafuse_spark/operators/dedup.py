@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-disciplined (no all-pairs cross join — the
+reference's quadratic all-pairs similarity join, SURVEY.md J9, is exactly
+what these replace):
+
+- :func:`exact_duplicates` — content-hash groupBy (one shuffle).
+- :func:`ngram_jaccard_pairs` — shared-shingle blocking: pairs only form
+  where a shingle co-occurs, with a document-frequency cap on blocking
+  shingles so stop-shingles can't create quadratic blocks.
+- :func:`minhash_lsh_pairs` — MinHash signatures (k md5-derived hash
+  functions, computed in ONE pass over exploded shingles) banded into LSH
+  buckets; candidate pairs only within buckets.
+- :func:`simhash_docs` — 16-bit SimHash per doc; equal-hash grouping.
+- :func:`embedding_near_dup_pairs` — cosine near-duplicates, blocked by a
+  coarse key (label or LSH bucket) to bound pair counts.
+
+At 100 TB each of these is: scan → narrow projection → one or two shuffles on
+bounded-width keys. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.functions.text import hash64, shingles, simhash16
+from pybiodatafuse_spark.operators.similarity import cosine_expr
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, group_id, group_size) for docs whose exact text occurs >1 time;
+    group_id = min doc_id of the duplicate group."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.min(id_col).alias("group_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        hashed.join(groups.where(F.col("group_size") > 1), "h")
+        .select(id_col, "group_id", "group_size")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct word-n-gram shingle sets, for
+    pairs sharing ≥1 blocking shingle (document frequency ≤ max_shingle_df)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_shingle_df
+    )
+    blocked = sh.join(df_ok.select("s"), "s")
+    a = blocked.select(F.col("doc").alias("doc_a"), "s")
+    b = blocked.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 8, n: int = 3
+) -> DataFrame:
+    """(doc, sig_0..sig_{k-1}): MinHash over word-n-gram shingles; hash
+    function j = hash64(shingle || '#j'). One explode + one groupBy."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    aggs = [
+        F.min(hash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"sig_{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a, doc_b, n_bands) sharing ≥1 LSH
+    band of their MinHash signature (k sigs split into `bands` bands)."""
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k, n=n)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b_ = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_docs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash; equal values ⇒ near-dup cluster."""
+    return docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold within blocking key
+    groups (a label, cluster id, or LSH bucket from similarity.lsh_buckets)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, rank per query. The correctness baseline.
+- :func:`lsh_buckets` / :func:`lsh_topk` — random-hyperplane (sign) LSH: the
+  scale path. Hyperplanes are deterministic (splitmix64-seeded ±1 matrix);
+  bucketing is a pure projection, candidates only form within buckets across
+  `n_bands` independent bands (multi-probe by union).
+
+All vector math is built-in (`zip_with` + `aggregate`) — JVM-side, no Python.
+The reference's closest analogue is the embedding-distance scoring in
+DREAMwalk (`predict_associations.py:87-137`), done driver-side in sklearn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    # double-cast BEFORE multiplying: float32 products would lose precision
+    # (and break bit-parity with the float64 oracle)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rn) — exact top-k by cosine per query,
+    deterministic tie-break on vec_id. Queries are broadcast."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_expr(F.col("qv"), F.col(vec_col)), 6).alias("cos"),
+    )
+    # exclude self-matches when querying the corpus against itself
+    scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (n_planes × dim) via splitmix64."""
+    idx = np.arange(n_planes * dim, dtype=np.uint64)
+    z = (idx + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    bits = ((z ^ (z >> np.uint64(31))) & np.uint64(1)).astype(np.int64)
+    return (bits.reshape(n_planes, dim) * 2 - 1).astype(np.float64)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    bits_per_band: int = 8,
+    n_bands: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds (band, bucket) rows per input row: one row per band, bucket =
+    integer of sign bits under that band's hyperplanes."""
+    planes = hyperplanes(dim, bits_per_band * n_bands, seed)
+    out = []
+    for band in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(bits_per_band):
+            p = planes[band * bits_per_band + i]
+            plane_col = F.array(*[F.lit(float(x)) for x in p])
+            d = dot_expr(plane_col, F.col(vec_col))
+            bucket = bucket + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        out.append(df.withColumn("band", F.lit(band)).withColumn("bucket", bucket))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int,
+    bits_per_band: int = 8,
+    n_bands: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in ≥1 band."""
+    cb = lsh_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        vec_col="v", dim=dim, bits_per_band=bits_per_band, n_bands=n_bands, seed=seed,
+    )
+    qb = lsh_buckets(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        ),
+        vec_col="qv", dim=dim, bits_per_band=bits_per_band, n_bands=n_bands, seed=seed,
+    )
+    cands = (
+        cb.join(qb, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -106,7 +106,11 @@ def pagerank(
     edges_norm, init = _prepare(
         edges, vertices, num_salts, hub_threshold, shuffle_partitions
     )
-    n = init.count()
+    counts = init.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_dangling").cast("long")).alias("nd"),
+    ).first()
+    n, n_dangling = counts["n"], counts["nd"] or 0
     if n == 0:
         raise ValueError("pagerank: empty vertex set")
     state0 = init.select(
@@ -118,9 +122,18 @@ def pagerank(
     )
     salts = F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")
 
-    def step(state: DataFrame, k: int) -> tuple[DataFrame, Column]:
-        dm_row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
-        dangling_mass = float(dm_row["m"]) if dm_row and dm_row["m"] is not None else 0.0
+    def step(state: DataFrame, k: int, carry: dict):
+        # dangling mass of the CURRENT state: fused into the previous
+        # superstep's materialization action (carry); first step is closed-form
+        # (uniform init → n_dangling / n²... each dangling vertex holds 1/n).
+        dangling_mass = carry.get("_dangling")
+        if dangling_mass is None:
+            if k <= 1:
+                dangling_mass = n_dangling / n  # uniform init: 1/n per dangling vertex
+            else:  # resumed from checkpoint: one-off recompute from state
+                row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
+                dangling_mass = row["m"] if row and row["m"] is not None else 0.0
+        dangling_mass = float(dangling_mass)
         ranks_salted = state.select(
             "id",
             "rank",
@@ -152,7 +165,10 @@ def pagerank(
             )
         )
         delta = F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
-        return new_state, delta
+        next_dangling = F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias(
+            "_dangling"
+        )
+        return new_state, delta, [next_dangling]
 
     result = iterate(
         spark,

@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 
 from pybiodatafuse_spark.storage import Storage, new_run_id
 
-StepFn = Callable[[DataFrame, int], tuple[DataFrame, Column | None]]
+# step_fn(state, superstep, carry) -> (new_state, delta_expr, carry_aggs)
+#   carry: dict of scalar values from the previous superstep's fused agg action
+#   carry_aggs: extra aliased aggregate Columns evaluated over new_state in the
+#   SAME action as the delta (zero extra Spark jobs) and handed to the next call
+StepFn = Callable[
+    [DataFrame, int, dict],
+    tuple[DataFrame, "Column | None", "list[Column] | None"],
+]
 
 
 @dataclass
@@ -63,30 +70,40 @@ def iterate(
     run_id: str | None = None,
     start_step: int = 0,
     partition_metrics: bool = True,
+    stop_when: Callable[[list[float]], bool] | None = None,
 ) -> SuperstepResult:
     """Run ``step_fn`` to convergence. ``step_fn(state, k)`` returns
     ``(new_state, delta_expr)`` where ``delta_expr`` is an aggregate Column
     over ``new_state`` evaluating to the L1 delta (or None → no convergence
-    test, run ``max_iter`` steps)."""
+    test, run ``max_iter`` steps).
+
+    Convergence: ``stop_when(deltas)`` if given (e.g. fixpoint detection via
+    two equal consecutive state fingerprints), else ``deltas[-1] < tol``."""
     run_id = run_id or new_run_id()
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
     rows_in = state.count()
     deltas: list[float] = []
     converged = False
+    carry: dict = {}
     step = start_step
     for step in range(start_step + 1, max_iter + 1):
         t0 = time.monotonic()
-        new_state, delta_expr = step_fn(state, step)
+        new_state, delta_expr, carry_aggs = step_fn(state, step, carry)
         new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
         aggs = [F.count(F.lit(1)).alias("_n")]
         if delta_expr is not None:
             aggs.append(delta_expr.alias("_delta"))
+        aggs.extend(carry_aggs or [])
         row = new_state.agg(*aggs).first()
+        carry = row.asDict()
         rows_out = row["_n"]
         delta = float(row["_delta"]) if delta_expr is not None and row["_delta"] is not None else None
         if delta is not None:
             deltas.append(delta)
-        hit_tol = tol is not None and delta is not None and delta < tol
+        if stop_when is not None:
+            hit_tol = bool(deltas) and stop_when(deltas)
+        else:
+            hit_tol = tol is not None and delta is not None and delta < tol
         is_checkpoint = (
             storage is not None
             and (step % checkpoint_every == 0 or hit_tol or step == max_iter)
