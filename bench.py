@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Runs the headline jobs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "pagerank": {...},
+     "scaling": {...local[8] vs local[32] throughput...}}
+
+Headline jobs:
+- pagerank_synthetic: the full link-graph pipeline on the deterministic
+  synthetic pages table (extraction UDF → salted edges → PageRank to 1e-6),
+  reporting edges/sec of superstep throughput — the BASELINE.json metric;
+- the driver-gate queries q01/q17/q19/q25/q28 at the given sf.
+
+Scaling evidence (north rule: efficiency ≥ 0.8 from N→4N): the identical
+PageRank job runs in two fresh subprocess sessions at local[8] and local[32];
+efficiency = thr_32 / (4 · thr_8). Enabled by default in full runs; skipped
+when SPARK_GRAFT_SCALING=0 (the subprocess probes use this to avoid
+recursion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+
+def ensure_graph_cache(spark, n_pages: int) -> tuple[str, str, float]:
+    """Materialize the deterministic synthetic snapshot (pages → extraction →
+    salted edge build) as parquet ONCE; the two scaling probes then run on
+    the identical snapshot (north-rule requirement). Returns
+    (edges_path, verts_path, build_sec)."""
+    from pybiodatafuse_spark.datagen import generate_pages
+    from pybiodatafuse_spark.operators.edges import build_edges, build_vertices
+
+    base = os.path.join(CACHE_ROOT, f"v1_{n_pages}")
+    e_path, v_path = os.path.join(base, "edges"), os.path.join(base, "vertices")
+    done = os.path.join(base, "_DONE")
+    if os.path.exists(done):
+        return e_path, v_path, 0.0
+    t0 = time.monotonic()
+    pages = generate_pages(spark, n_pages, partitions=64)
+    verts = build_vertices(pages).persist()
+    build_edges(pages, verts).write.mode("overwrite").parquet(e_path)
+    verts.write.mode("overwrite").parquet(v_path)
+    verts.unpersist()
+    with open(done, "w") as f:
+        f.write("ok")
+    return e_path, v_path, time.monotonic() - t0
+
+
+def _pagerank_job(spark, n_pages: int):
+    """The scaling-probe job: 10 PageRank supersteps over the cached
+    snapshot. Returns (n_edges, supersteps, superstep_wall_sec, build_sec)."""
+    from pybiodatafuse_spark.plans.pagerank import pagerank
+
+    e_path, v_path, build_sec = ensure_graph_cache(spark, n_pages)
+    edges = spark.read.parquet(e_path).persist()
+    verts = spark.read.parquet(v_path)
+    n_edges = edges.count()
+    t0 = time.monotonic()
+    res = pagerank(
+        spark, edges, verts, tol=None, max_iter=10, hub_threshold=10000, num_salts=8
+    )
+    res.state.unpersist()
+    wall = time.monotonic() - t0
+    edges.unpersist()
+    return n_edges, 10, wall, build_sec
+
+
+def _scale_probe(cpus: int) -> dict:
+    """Run the identical pagerank job in a fresh subprocess at local[cpus]."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SCALING"] = "0"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--probe"],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_probe():
+    from pybiodatafuse_spark.session import get_spark
+
+    spark = get_spark("bench-probe")
+    n_edges, steps, wall, _ = _pagerank_job(spark, BENCH_PAGES)
+    thr = n_edges * steps / wall  # edge-traversals per second
+    print(json.dumps({"n_edges": n_edges, "supersteps": steps, "sec": round(wall, 2),
+                      "edges_per_sec": round(thr)}))
+    spark.stop()
+
+
+def main():
+    if "--probe" in sys.argv:
+        run_probe()
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from pybiodatafuse_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = {}
+    t_total0 = time.monotonic()
+
+    # headline 1: full synthetic link-graph pipeline + PageRank supersteps
+    n_edges, steps, pr_wall, build_sec = _pagerank_job(spark, BENCH_PAGES)
+    queries["extract_build_edges"] = round(build_sec, 3)
+    queries["pagerank_synthetic"] = round(pr_wall, 3)
+    pagerank_stats = {
+        "pages": BENCH_PAGES,
+        "edges": n_edges,
+        "supersteps": steps,
+        "superstep_sec": round(pr_wall / steps, 3),
+        "edge_traversals_per_sec": round(n_edges * steps / pr_wall),
+    }
+
+    # headline 2: representative driver-gate queries at sf
+    qs = entrymod.queries()
+    for name in ["q01_pricing_summary", "q17_triangles", "q19_pagerank5",
+                 "q25_minhash_lsh", "q28_knn_bruteforce", "q31_sessionize"]:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - t_total0, 3)
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "pagerank": pagerank_stats,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        lo, hi = 8, 32
+        p_lo = _scale_probe(lo)
+        p_hi = _scale_probe(hi)
+        eff = p_hi["edges_per_sec"] / (4.0 * p_lo["edges_per_sec"])
+        result["scaling"] = {
+            "cores_lo": lo,
+            "cores_hi": hi,
+            "edges_per_sec_lo": p_lo["edges_per_sec"],
+            "edges_per_sec_hi": p_hi["edges_per_sec"],
+            "efficiency_n_to_4n": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,7 @@ def iterate(
     Convergence: ``stop_when(deltas)`` if given (e.g. fixpoint detection via
     two equal consecutive state fingerprints), else ``deltas[-1] < tol``."""
     run_id = run_id or new_run_id()
-    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    state = state.localCheckpoint(eager=True)
     rows_in = state.count()
     deltas: list[float] = []
     converged = False
@@ -89,7 +89,13 @@ def iterate(
     for step in range(start_step + 1, max_iter + 1):
         t0 = time.monotonic()
         new_state, delta_expr, carry_aggs = step_fn(state, step, carry)
-        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+        # Truncate lineage EVERY superstep: persisted-but-unchecked plans grow
+        # per iteration (exponentially for self-referencing steps like
+        # large-star) and Catalyst/AQE re-analysis comes to dominate wall time.
+        # localCheckpoint materializes to executor-local storage (one job);
+        # durable parquet/Iceberg snapshots below stay on the
+        # `checkpoint_every` cadence for resume.
+        new_state = new_state.localCheckpoint(eager=True)
         aggs = [F.count(F.lit(1)).alias("_n")]
         if delta_expr is not None:
             aggs.append(delta_expr.alias("_delta"))
@@ -114,10 +120,6 @@ def iterate(
             reloaded = storage.read_checkpoint(spark, algorithm, run_id, step)
             new_state.unpersist()
             new_state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
-        elif storage is None and step % checkpoint_every == 0:
-            truncated = new_state.localCheckpoint(eager=True)
-            new_state.unpersist()
-            new_state = truncated
         wall_ms = int((time.monotonic() - t0) * 1000)
         if storage is not None:
             storage.log_metrics(

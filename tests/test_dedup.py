@@ -1,0 +1,92 @@
+"""Dedup operators: exact groups, MinHash-LSH recall of planted near-dups,
+n-gram Jaccard vs brute-force, SimHash determinism."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different content about spark shuffle partitions and joins here"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "another unrelated document describing web graph pagerank computation steps"),
+    (5, "completely different content about spark shuffle partitions and joins there"),  # near-dup of 2
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(spark, docs):
+    out = exact_duplicates(docs).collect()
+    assert {(r["doc_id"], r["group_id"], r["group_size"]) for r in out} == {
+        (0, 0, 2),
+        (3, 0, 2),
+    }
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _jaccard(ta, tb)
+        if j >= 0.4:
+            want[(ia, ib)] = round(j, 6)
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in got  # near dup
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, k=8, bands=4).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides in every band
+    assert (0, 1) in pairs or (2, 5) in pairs  # high-jaccard near-dups collide whp
+    assert (0, 4) not in pairs and (2, 4) not in pairs  # unrelated docs don't
+
+
+def test_simhash_deterministic_and_separates(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    assert a == b
+    assert a[0] == a[3]  # identical text → identical simhash
+    assert 0 <= min(a.values()) and max(a.values()) < 2**16
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.1, 0.0], 1),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [1.0, 0.0, 0.0], 2),    # same vec as 0 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert got == {(0, 1)}  # blocked by label: (0,3) never compared

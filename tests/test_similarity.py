@@ -1,0 +1,82 @@
+"""Similarity search: brute-force top-k vs numpy; LSH recall and candidate
+pruning; hyperplane determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pybiodatafuse_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_buckets,
+    lsh_topk,
+)
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(N, DIM)).astype(np.float32)
+    # plant a near-identical pair
+    base[1] = base[0] + rng.normal(scale=0.01, size=DIM).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, base
+
+
+def _numpy_topk(base: np.ndarray, qids, k=5):
+    x = base.astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    out = {}
+    for q in qids:
+        cos = (x @ x[q]) / (norms * norms[q])
+        cos = np.round(cos, 6)
+        order = sorted(
+            (i for i in range(len(x)) if i != q), key=lambda i: (-cos[i], i)
+        )
+        out[q] = [(i, cos[i]) for i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, vecs):
+    df, base = vecs
+    q = df.where("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    got = {}
+    for r in brute_force_topk(df, q, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["cos"]))
+    want = _numpy_topk(base, range(5))
+    for qid in range(5):
+        got_sorted = [(v, c) for _, v, c in sorted(got[qid])]
+        assert [v for v, _ in got_sorted] == [v for v, _ in want[qid]]
+        assert all(abs(c - wc) < 1e-6 for (_, c), (_, wc) in zip(got_sorted, want[qid]))
+
+
+def test_lsh_finds_planted_neighbor(spark, vecs):
+    df, _ = vecs
+    q = df.where("vec_id = 0").selectExpr("vec_id as query_id", "embedding as query_vec")
+    res = lsh_topk(df, q, k=5, dim=DIM, bits_per_band=4, n_bands=4).collect()
+    assert any(r["vec_id"] == 1 for r in res)  # near-identical vector found
+
+
+def test_lsh_prunes_candidates(spark, vecs):
+    df, _ = vecs
+    b = lsh_buckets(df.selectExpr("vec_id", "embedding as v"), vec_col="v",
+                    dim=DIM, bits_per_band=8, n_bands=2)
+    per_bucket = b.groupBy("band", "bucket").count().collect()
+    # 8-bit buckets over 120 vecs: buckets must actually split the space
+    assert max(r["count"] for r in per_bucket) < N
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(DIM, 8, seed=42)
+    b = hyperplanes(DIM, 8, seed=42)
+    c = hyperplanes(DIM, 8, seed=43)
+    assert (a == b).all()
+    assert (a != c).any()
+    assert set(np.unique(a)) == {-1.0, 1.0}
