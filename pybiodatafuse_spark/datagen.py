@@ -118,12 +118,12 @@ def generate_pages_pdf(ids: np.ndarray, n_pages: int) -> pd.DataFrame:
             np.arange(len(targets), dtype=np.int64),
             9,
         )
+        target_domains = _domains(targets, n_pages)
         for j, t in enumerate(targets):
             if ext_u[j] < 0.05:
                 href = f"https://external{int(t) % 7}.example/x{int(t)}"
             else:
-                td = int(_domains(np.array([t], dtype=np.int64), n_pages)[0])
-                href = page_url(int(t), td)
+                href = page_url(int(t), int(target_domains[j]))
             anchors.append(f'<a href="{href}">to {int(t)}</a>')
         html = (
             f"<html><head><title>Page {int(i)}</title>"

@@ -1,0 +1,210 @@
+"""Per-partition CSR adjacency blocks + numpy superstep kernel (north star;
+SURVEY.md §7 step 6, §4 custom-physical item 3).
+
+The pure-DataFrame PageRank superstep is `ranks ⋈ edges → groupBy(dst)`. At
+scale the join re-shuffles the (loop-invariant!) adjacency every iteration.
+This operator materializes the adjacency ONCE as compressed sparse rows,
+block-partitioned by `pmod(src, num_blocks)`:
+
+    csr_blocks(pid, chunk, srcs: array<long>, indptr: array<int>,
+               dsts: array<long>, fracs: array<double>)
+
+Each superstep is then a **cogroup** of the rank state (re-keyed by the same
+pid) with the cached blocks: an Arrow-batched numpy kernel computes every
+edge contribution and pre-aggregates per dst LOCALLY (np.reduceat — the
+numpy analogue of a map-side combine), so the only shuffle is the final
+contribution redistribution, whose volume is bounded by distinct dsts per
+block rather than edges.
+
+Rows per block cell are chunked (`max_chunk_edges`) to keep Arrow cells
+bounded. Results are identical to the DataFrame path (tests assert 1e-12).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.plans.superstep import SuperstepResult, iterate
+from pybiodatafuse_spark.storage import Storage
+
+CSR_SCHEMA = (
+    "pid int, chunk int, srcs array<long>, indptr array<int>, "
+    "dsts array<long>, fracs array<double>"
+)
+
+
+def build_csr_blocks(
+    edges_norm: DataFrame, num_blocks: int = 64, max_chunk_edges: int = 2_000_000
+) -> DataFrame:
+    """edges_norm(src, dst, frac) → cached CSR block table (one shuffle,
+    loop-invariant thereafter)."""
+
+    def to_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        frac = pdf["frac"].to_numpy()
+        srcs, counts = np.unique(src, return_counts=True)
+        rows = []
+        chunk, start_vertex = 0, 0
+        edge_start = 0
+        while start_vertex < len(srcs):
+            cum = np.cumsum(counts[start_vertex:])
+            take = int(np.searchsorted(cum, max_chunk_edges, side="left")) + 1
+            end_vertex = min(start_vertex + take, len(srcs))
+            n_edges = int(counts[start_vertex:end_vertex].sum())
+            indptr = np.zeros(end_vertex - start_vertex + 1, dtype=np.int32)
+            np.cumsum(counts[start_vertex:end_vertex], out=indptr[1:])
+            rows.append(
+                {
+                    "pid": pid,
+                    "chunk": chunk,
+                    "srcs": srcs[start_vertex:end_vertex],
+                    "indptr": indptr,
+                    "dsts": dst[edge_start : edge_start + n_edges],
+                    "fracs": frac[edge_start : edge_start + n_edges],
+                }
+            )
+            edge_start += n_edges
+            start_vertex = end_vertex
+            chunk += 1
+        return pd.DataFrame(rows)
+
+    blocked = (
+        edges_norm.withColumn("pid", F.pmod(F.col("src"), F.lit(num_blocks)).cast("int"))
+        .groupBy("pid")
+        .applyInPandas(to_blocks, schema=CSR_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return blocked
+
+
+def _contrib_kernel(ranks_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped kernel: block-local edge contributions, pre-aggregated per dst."""
+    if blocks_pdf.empty or ranks_pdf.empty:
+        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")})
+    rid = ranks_pdf["id"].to_numpy()
+    rvals = ranks_pdf["rank"].to_numpy()
+    order = np.argsort(rid, kind="mergesort")
+    rid, rvals = rid[order], rvals[order]
+    out_dst, out_val = [], []
+    for row in blocks_pdf.itertuples(index=False):
+        srcs = np.asarray(row.srcs, dtype=np.int64)
+        indptr = np.asarray(row.indptr, dtype=np.int64)
+        dsts = np.asarray(row.dsts, dtype=np.int64)
+        fracs = np.asarray(row.fracs, dtype=np.float64)
+        pos = np.searchsorted(rid, srcs)
+        if pos.size and (pos.max() >= rid.size or not np.array_equal(rid[pos], srcs)):
+            raise ValueError("csr kernel: rank state does not cover all edge sources")
+        src_rank = rvals[pos]
+        per_edge = np.repeat(src_rank, np.diff(indptr)) * fracs
+        sort_idx = np.argsort(dsts, kind="mergesort")
+        dsts_sorted = dsts[sort_idx]
+        vals_sorted = per_edge[sort_idx]
+        uniq, starts = np.unique(dsts_sorted, return_index=True)
+        sums = np.add.reduceat(vals_sorted, starts)
+        out_dst.append(uniq)
+        out_val.append(sums)
+    return pd.DataFrame(
+        {"dst": np.concatenate(out_dst), "contrib": np.concatenate(out_val)}
+    )
+
+
+def pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    *,
+    damping: float = 0.85,
+    tol: float | None = 1e-6,
+    max_iter: int = 100,
+    num_blocks: int = 64,
+    storage: Storage | None = None,
+    run_id: str | None = None,
+    checkpoint_every: int = 5,
+) -> SuperstepResult:
+    """PageRank over CSR blocks; identical semantics to plans.pagerank."""
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    edges_norm = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("frac")
+    )
+    blocks = build_csr_blocks(edges_norm, num_blocks=num_blocks)
+    blocks.count()  # materialize once
+
+    if vertices is not None:
+        verts = vertices.select("id").dropDuplicates(["id"])
+    else:
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .dropDuplicates(["id"])
+        )
+    init = verts.join(
+        out_w.select(F.col("src").alias("id"), "out_w"), "id", "left"
+    ).select("id", F.col("out_w").isNull().alias("is_dangling"))
+    counts = init.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_dangling").cast("long")).alias("nd"),
+    ).first()
+    n, n_dangling = counts["n"], counts["nd"] or 0
+    if n == 0:
+        raise ValueError("pagerank_csr: empty vertex set")
+    state0 = init.select(
+        "id",
+        F.lit(1.0 / n).alias("rank"),
+        F.lit(0.0).alias("prev_rank"),
+        "is_dangling",
+    )
+    grouped_blocks = blocks.groupBy("pid")
+
+    def step(state: DataFrame, k: int, carry: dict):
+        dangling_mass = carry.get("_dangling")
+        if dangling_mass is None:
+            if k <= 1:
+                dangling_mass = n_dangling / n
+            else:
+                row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
+                dangling_mass = row["m"] if row and row["m"] is not None else 0.0
+        dangling_mass = float(dangling_mass)
+        ranks_p = state.select(
+            "id", "rank", F.pmod(F.col("id"), F.lit(num_blocks)).cast("int").alias("pid")
+        )
+        partials = ranks_p.groupBy("pid").cogroup(grouped_blocks).applyInPandas(
+            _contrib_kernel, schema="dst long, contrib double"
+        )
+        contribs = (
+            partials.groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+            .withColumnRenamed("dst", "id")
+        )
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_state = state.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            F.col("rank").alias("prev_rank"),
+            "is_dangling",
+        )
+        delta = F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+        dang = F.sum(F.when(F.col("is_dangling"), F.col("rank"))).alias("_dangling")
+        return new_state, delta, [dang]
+
+    result = iterate(
+        spark,
+        state0,
+        step,
+        algorithm="pagerank_csr",
+        max_iter=max_iter,
+        tol=tol,
+        checkpoint_every=checkpoint_every,
+        storage=storage,
+        run_id=run_id,
+    )
+    blocks.unpersist()
+    return result
