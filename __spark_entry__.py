@@ -474,6 +474,64 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: transitive closure via checkpointed path-doubling self-joins,
+    on a synthetic part-key tree (child k → parent floor(k/5), k > 0)."""
+    from pybiodatafuse_spark.operators.hierarchy import transitive_closure
+
+    p = _t(spark, sf_dir, "part")
+    h = p.where(F.col("p_partkey") > 0).select(
+        F.col("p_partkey").alias("child"),
+        F.floor(F.col("p_partkey") / 5).cast("long").alias("parent"),
+    )
+    return transitive_closure(h, max_depth=16).select("node", "ancestor")
+
+
+def q35_existence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: existence-labelled pairs (cross join × edge left-join)."""
+    from pybiodatafuse_spark.operators.hierarchy import label_pairs_by_edge
+
+    e = _derived_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("id")).distinct().where(F.col("id") < 20)
+    pairs = nodes.select(F.col("id").alias("a")).crossJoin(
+        nodes.select(F.col("id").alias("b"))
+    ).where(F.col("a") != F.col("b"))
+    return label_pairs_by_edge(pairs, e).select("a", "b", "label")
+
+
+def q36_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: deterministic hash-seeded weighted random walks (rows-only check:
+    the CDF-inversion loop is not SQL-expressible; exactness is covered by
+    tests/test_walks.py against a pure-Python oracle)."""
+    from pybiodatafuse_spark.plans.walks import random_walks
+
+    e = _derived_edges(spark, sf_dir)
+    starts = e.select(F.col("src").alias("id")).distinct().where(F.col("id") < 50)
+    walks = random_walks(spark, e, starts, num_walks=2, walk_length=6)
+    return walks.select(
+        "walk_id", "start", F.size("path").cast("long").alias("path_len"),
+        F.element_at("path", -1).alias("last")
+    )
+
+
+def q37_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: hash-mod sampling — reproducible negative-sampling primitive."""
+    from pybiodatafuse_spark.operators.hierarchy import deterministic_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return deterministic_sample(o, "o_orderkey", mod=10, keep=0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: N-Triples projection of the derived graph."""
+    from pybiodatafuse_spark.sinks.rdf import edge_triples
+
+    e = _derived_edges(spark, sf_dir).where(F.col("src") < 30)
+    return edge_triples(e).select("triple")
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle generators for the unrolled iterative queries
 # ---------------------------------------------------------------------------
@@ -764,6 +822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_sessionize": q31_sessionize,
         "q32_lsh_knn": q32_lsh_knn,
         "q33_multimodal_features": q33_multimodal_features,
+        "q34_hierarchy_closure": q34_hierarchy_closure,
+        "q35_existence_pairs": q35_existence_pairs,
+        "q36_random_walks": q36_random_walks,
+        "q37_deterministic_sample": q37_deterministic_sample,
+        "q38_rdf_triples": q38_rdf_triples,
     }
 
 
@@ -902,6 +965,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*)::BIGINT AS n_events
             FROM s GROUP BY 1, 2
         """,
-        # q32_lsh_knn, q33_multimodal_features: no SQL oracle (LSH hyperplane
-        # constants / Arrow-UDF pipeline) — rows-only check.
+        "q34_hierarchy_closure": """
+            WITH RECURSIVE h AS (
+              SELECT p_partkey AS child, (p_partkey - p_partkey % 5) / 5 AS parent
+              FROM part WHERE p_partkey > 0
+            ),
+            closure(node, ancestor) AS (
+              SELECT child, parent FROM h
+              UNION
+              SELECT c.node, h.parent FROM closure c JOIN h ON c.ancestor = h.child
+            )
+            SELECT node::BIGINT AS node, ancestor::BIGINT AS ancestor FROM closure
+        """,
+        "q35_existence_pairs": f"""
+            WITH edges_d AS ({_EDGES_SQL}),
+            nodes AS (SELECT DISTINCT src AS id FROM edges_d WHERE src < 20)
+            SELECT a.id AS a, b.id AS b,
+                   CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END AS label
+            FROM nodes a JOIN nodes b ON a.id <> b.id
+            LEFT JOIN (SELECT DISTINCT src, dst FROM edges_d) e
+              ON e.src = a.id AND e.dst = b.id
+        """,
+        "q37_deterministic_sample": f"""
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE {_h64_sql("o_orderkey::VARCHAR")} % 10 = 0
+        """,
+        "q38_rdf_triples": f"""
+            WITH edges_d AS ({_EDGES_SQL})
+            SELECT '<urn:bdf:node:' || src::VARCHAR ||
+                   '> <urn:bdf:pred:links_to> <urn:bdf:node:' || dst::VARCHAR ||
+                   '> .' AS triple
+            FROM edges_d WHERE src < 30
+        """,
+        # q32_lsh_knn, q33_multimodal_features, q36_random_walks: no SQL
+        # oracle (LSH hyperplane constants / Arrow-UDF pipeline / CDF
+        # inversion loop) — rows-only check; exactness covered in tests/.
     }

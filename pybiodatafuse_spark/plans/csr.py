@@ -183,6 +183,7 @@ def pagerank_csr(
             partials.groupBy("dst")
             .agg(F.sum("contrib").alias("contrib"))
             .withColumnRenamed("dst", "id")
+            .hint("shuffle_hash")  # keep the state join off the broadcast-build path
         )
         base = (1.0 - damping) / n + damping * dangling_mass / n
         new_state = state.join(contribs, "id", "left").select(

@@ -134,13 +134,17 @@ def pagerank(
                 row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
                 dangling_mass = row["m"] if row and row["m"] is not None else 0.0
         dangling_mass = float(dangling_mass)
+        # shuffle_hash hints: the rank side is the small build side — SHJ
+        # avoids re-sorting the (loop-invariant, persisted) edge table every
+        # superstep, and keeps the contribs join off the single-threaded
+        # broadcast-build path (both measured wins; see BENCH/BASELINE.md).
         ranks_salted = state.select(
             "id",
             "rank",
             F.explode(
                 F.when(F.col("is_hub"), salts).otherwise(F.array(F.lit(0).cast("int")))
             ).alias("salt"),
-        )
+        ).hint("shuffle_hash")
         contribs = (
             ranks_salted.join(
                 edges_norm,
@@ -150,6 +154,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
             .withColumnRenamed("dst", "id")
+            .hint("shuffle_hash")
         )
         base = (1.0 - damping) / n + damping * dangling_mass / n
         new_state = (

@@ -57,6 +57,21 @@ def _partition_rows(df: DataFrame) -> dict[int, int]:
     return {r["pid"]: r["count"] for r in rows}
 
 
+def _free(df: DataFrame) -> None:
+    """Release a superseded state snapshot. DataFrame.unpersist() does not
+    drop localCheckpoint blocks (they belong to the internal RDD), which
+    leaks ~state-size per superstep over a 100-superstep run — unpersist the
+    underlying RDD explicitly."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def iterate(
     spark: SparkSession,
     state: DataFrame,
@@ -118,7 +133,7 @@ def iterate(
         if is_checkpoint:
             ckpt_path = storage.write_checkpoint(new_state, algorithm, run_id, step)
             reloaded = storage.read_checkpoint(spark, algorithm, run_id, step)
-            new_state.unpersist()
+            _free(new_state)
             new_state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
         wall_ms = int((time.monotonic() - t0) * 1000)
         if storage is not None:
@@ -134,7 +149,7 @@ def iterate(
                 checkpoint_path=ckpt_path,
                 partition_rows=_partition_rows(new_state) if partition_metrics else None,
             )
-        state.unpersist()
+        _free(state)
         state = new_state
         rows_in = rows_out
         if hit_tol:

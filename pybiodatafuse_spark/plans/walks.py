@@ -1,0 +1,114 @@
+"""Distributed weighted random walks (SURVEY.md G7 — the reference's
+DREAMwalk traversal, ``generate_embeddings.py:191-263``, is a driver-side
+networkx loop with per-process RNG; neither distributed nor reproducible).
+
+Spark-first restatement:
+- adjacency prepared ONCE per run: per-src neighbor array sorted by dst with
+  a normalized cumulative-weight array (the sampling CDF);
+- each superstep advances EVERY walk one hop via a frontier ⋈ adjacency join;
+- randomness is hash-based — ``u = hash64(f"{walk_id}#{step}") / 2^60`` — so
+  walks are deterministic, partition-independent, and exactly reproducible by
+  the pure-Python oracle (tests/test_walks.py);
+- the entire hop (CDF inversion included) is built-in expressions
+  (filter/size/element_at), no Python in the loop.
+
+Walks stop early at dangling vertices (no teleport by default).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.functions.text import hash64
+
+_HASH_SPACE = float(1 << 60)
+
+
+def _adjacency_with_cdf(edges: DataFrame) -> DataFrame:
+    """(src, dsts array<long>, cdf array<double>) — neighbors sorted by dst,
+    cdf normalized to end at 1.0."""
+    pairs = edges.groupBy("src").agg(
+        F.array_sort(F.collect_list(F.struct("dst", "weight"))).alias("nbrs")
+    )
+    cum = F.aggregate(
+        F.col("nbrs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x["weight"]),
+        ),
+    )
+    return pairs.select(
+        "src",
+        F.transform(F.col("nbrs"), lambda x: x["dst"]).alias("dsts"),
+        F.transform(cum, lambda c: c / F.element_at(cum, -1)).alias("cdf"),
+    )
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    start_vertices: DataFrame,
+    *,
+    num_walks: int = 1,
+    walk_length: int = 10,
+) -> DataFrame:
+    """Returns (walk_id, start, path array<long>) with path[0] = start.
+
+    walk_id = start_id * num_walks + w (deterministic); u for step k of a
+    walk depends only on (walk_id, k).
+    """
+    adj = _adjacency_with_cdf(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    frontier = (
+        start_vertices.select(F.col("id").alias("start"))
+        .crossJoin(spark.range(num_walks).select(F.col("id").alias("w")))
+        .select(
+            (F.col("start") * num_walks + F.col("w")).alias("walk_id"),
+            F.col("start"),
+            F.col("start").alias("cur"),
+            F.array(F.col("start")).alias("path"),
+            F.lit(False).alias("done"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for step in range(1, walk_length + 1):
+        u = (
+            hash64(F.concat_ws("#", F.col("walk_id").cast("string"), F.lit(str(step))))
+            / F.lit(_HASH_SPACE)
+        )
+        moved = (
+            frontier.where(~F.col("done"))
+            .join(adj, F.col("cur") == adj["src"], "left")
+            .select(
+                "walk_id",
+                "start",
+                F.col("dsts").isNull().alias("now_done"),
+                F.when(
+                    F.col("dsts").isNull(), F.col("cur")
+                ).otherwise(
+                    F.element_at(
+                        "dsts",
+                        (F.size(F.filter("cdf", lambda c: c < u)) + 1).cast("int"),
+                    )
+                ).alias("nxt"),
+                "path",
+            )
+            .select(
+                "walk_id",
+                "start",
+                F.col("nxt").alias("cur"),
+                F.when(F.col("now_done"), F.col("path")).otherwise(
+                    F.concat("path", F.array("nxt"))
+                ).alias("path"),
+                F.col("now_done").alias("done"),
+            )
+        )
+        frontier = (
+            moved.unionByName(frontier.where(F.col("done")))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return frontier.select("walk_id", "start", "path")

@@ -1,0 +1,84 @@
+"""Hierarchy closure, existence-join pairs, deterministic sampling, loaders,
+RDF sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.operators.hierarchy import (
+    deterministic_sample,
+    label_pairs_by_edge,
+    stratified_deterministic_split,
+    transitive_closure,
+)
+from pybiodatafuse_spark.sinks.rdf import edge_triples, node_triples
+from pybiodatafuse_spark.sources.loaders import (
+    filter_dea,
+    identifiers_from_text,
+    read_pages,
+    write_pages,
+)
+
+
+def test_transitive_closure_chain_and_tree(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "d"), ("y", "x")]
+    h = spark.createDataFrame(rows, "child string, parent string")
+    got = {(r["node"], r["ancestor"]) for r in transitive_closure(h, max_depth=8).collect()}
+    want = {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("x", "d"), ("y", "x"), ("y", "d"),
+    }
+    assert got == want
+
+
+def test_label_pairs_by_edge(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0, 1), (3, 4, 1.0, 1)], "src long, dst long, weight double, etype int"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 4), (3, 4)], "a long, b long")
+    got = {(r["a"], r["b"]): r["label"] for r in label_pairs_by_edge(pairs, edges).collect()}
+    assert got == {(1, 2): 1, (1, 4): 0, (3, 4): 1}
+
+
+def test_deterministic_sample_stable_and_partitioned(spark):
+    df = spark.range(1000).select(F.col("id"))
+    a = sorted(r["id"] for r in deterministic_sample(df, "id", mod=10).collect())
+    b = sorted(r["id"] for r in deterministic_sample(df.repartition(7), "id", mod=10).collect())
+    assert a == b and 50 < len(a) < 200
+    train, test = stratified_deterministic_split(
+        df.withColumn("s", F.col("id") % 3), "id", "s", test_mod=5
+    )
+    assert train.count() + test.count() == 1000
+    assert 100 < test.count() < 320
+
+
+def test_loaders(spark, tmp_path):
+    ids = identifiers_from_text(spark, "ALG14, CHRNA1\nCHRND")
+    assert [r["identifier"] for r in ids.collect()] == ["ALG14", "CHRNA1", "CHRND"]
+    df = spark.createDataFrame(
+        [("g1", 2.5), ("g2", -3.5), ("g3", 0.5)], "identifier string, logfc double"
+    )
+    kept = filter_dea(df, "logfc", abs_min=2.0)
+    assert {r["identifier"] for r in kept.collect()} == {"g1", "g2"}
+
+
+def test_pages_roundtrip_schema_enforced(spark, pages_df, tmp_path):
+    p = str(tmp_path / "pages")
+    write_pages(pages_df, p)
+    back = read_pages(spark, p)
+    assert back.count() == pages_df.count()
+    import pytest
+    from pybiodatafuse_spark.schema import SchemaError
+
+    with pytest.raises(SchemaError):
+        write_pages(pages_df.drop("lang"), str(tmp_path / "bad"))
+
+
+def test_rdf_triples(spark):
+    verts = spark.createDataFrame([(1, "u", "page")], "id long, url string, type string")
+    edges = spark.createDataFrame([(1, 2, 1.0, 1)], "src long, dst long, weight double, etype int")
+    nt = node_triples(verts).collect()[0]["triple"]
+    et = edge_triples(edges).collect()[0]["triple"]
+    assert nt == '<urn:bdf:node:1> <urn:bdf:pred:type> "page" .'
+    assert et == "<urn:bdf:node:1> <urn:bdf:pred:links_to> <urn:bdf:node:2> ."
