@@ -84,18 +84,43 @@ def combine_sources(xref: DataFrame, annotated: list[DataFrame], on: list[str] |
 def combine_with_homologs(
     combined: DataFrame,
     homologs: DataFrame,
+    annotation_cols: list[str],
     *,
     key: str = "target",
     homolog_key: str = "homolog",
-    attr_cols: list[str],
 ) -> DataFrame:
-    """Reference J3: for rows lacking annotation, pull the homolog's
-    annotation — explode homolog links, left-join annotations via the
-    homolog, coalesce, re-nest."""
-    hom = homologs.select(F.col(key).alias("_k"), F.col(homolog_key).alias("_h"))
-    exploded = combined.join(hom, combined[key] == hom["_k"], "left")
-    coalesced = exploded.select(
-        *[c for c in combined.columns],
-        F.col("_h").alias("homolog_of"),
+    """Reference J3 (`utils.py:159-219`): rows whose nested annotation is
+    missing/empty borrow the annotation of their homolog.
+
+    explode homolog mapping → self-join the combined table on the homolog →
+    per-row coalesce of each annotation column (own value wins when its
+    array is non-empty) — the reference's `combine_first` restated as a
+    single left join + coalesce, no row loop.
+    """
+    hom = homologs.select(
+        F.col(key).alias("_k"), F.col(homolog_key).alias("_h")
+    ).dropDuplicates(["_k"])
+    donor = combined.select(
+        F.col(key).alias("_h"),
+        *[F.col(c).alias(f"_hom_{c}") for c in annotation_cols],
     )
-    return coalesced
+    joined = (
+        combined.join(hom, combined[key] == hom["_k"], "left")
+        .join(donor, "_h", "left")
+    )
+    out_cols = []
+    for c in combined.columns:
+        if c in annotation_cols:
+            # "present" = at least one entry with a non-null field (the
+            # collapse null-entry placeholder serializes to '{}')
+            own_ok = F.col(c).isNotNull() & F.exists(
+                F.col(c), lambda e: F.to_json(e) != "{}"
+            )
+            out_cols.append(
+                F.when(own_ok, F.col(c))
+                .otherwise(F.coalesce(F.col(f"_hom_{c}"), F.col(c)))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols, F.col("_h").alias("homolog_of"))

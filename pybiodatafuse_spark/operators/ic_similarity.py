@@ -1,0 +1,74 @@
+"""Information-content (Jiang–Conrath) similarity over a hierarchy
+(SURVEY.md G11/J9; reference ``algorithms/DREAMwalk/generate_similarity_net.py:45-157``
+computes IC with driver-side Counters and scores all pairs with
+``combinations_with_replacement`` — quadratic and single-threaded).
+
+Spark restatement:
+- ``anc(node, anc)`` = transitive closure ∪ self-pairs (one table);
+- ``IC(t) = -ln(|{n : t ∈ anc(n)}| / N)`` — one groupBy;
+- for candidate pairs, MICA = common ancestor with max IC via
+  anc ⋈ anc ⋈ IC + max-aggregation — pairs are only materialized where a
+  common ancestor exists (the blocking that kills the quadratic scan);
+- JC similarity = 1 / (1 + IC(a) + IC(b) − 2·IC(mica)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.operators.hierarchy import transitive_closure
+
+
+def ancestors_with_self(hierarchy: DataFrame) -> DataFrame:
+    closure = transitive_closure(hierarchy)
+    nodes = (
+        hierarchy.select(F.col("child").alias("node"))
+        .unionByName(hierarchy.select(F.col("parent").alias("node")))
+        .dropDuplicates(["node"])
+    )
+    return closure.unionByName(
+        nodes.select("node", F.col("node").alias("ancestor"))
+    ).dropDuplicates(["node", "ancestor"])
+
+
+def information_content(anc: DataFrame) -> DataFrame:
+    """(term, ic): ic = -ln(freq/N) where freq = #nodes having term as ancestor."""
+    n_nodes = anc.select("node").distinct().count()
+    return anc.groupBy(F.col("ancestor").alias("term")).agg(
+        (-F.log(F.count(F.lit(1)) / F.lit(float(n_nodes)))).alias("ic")
+    )
+
+
+def jiang_conrath_similarity(
+    hierarchy: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """(a, b, sim) for all node pairs a<b sharing ≥1 ancestor."""
+    anc = ancestors_with_self(hierarchy).persist()
+    ic = information_content(anc)
+    a = anc.select(F.col("node").alias("a"), F.col("ancestor").alias("term"))
+    b = anc.select(F.col("node").alias("b"), F.col("ancestor").alias("term"))
+    mica = (
+        a.join(b, "term")
+        .where(F.col("a") < F.col("b"))
+        .join(ic, "term")
+        .groupBy("a", "b")
+        .agg(F.max("ic").alias("ic_mica"))
+    )
+    ic_a = ic.select(F.col("term").alias("a"), F.col("ic").alias("ic_a"))
+    ic_b = ic.select(F.col("term").alias("b"), F.col("ic").alias("ic_b"))
+    out = (
+        mica.join(ic_a, "a")
+        .join(ic_b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                1.0
+                / (1.0 + F.col("ic_a") + F.col("ic_b") - 2.0 * F.col("ic_mica"))
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    anc.unpersist()
+    return out

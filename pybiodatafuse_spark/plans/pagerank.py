@@ -97,11 +97,14 @@ def pagerank(
     run_id: str | None = None,
     checkpoint_every: int = 5,
     shuffle_partitions: int | None = None,
+    resume: bool = False,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id, rank, prev_rank, ...)``.
 
     ``edges(src, dst, weight, ...)``; ``vertices(id, ...)`` optional (defaults
-    to edge endpoints). Ranks sum to 1.
+    to edge endpoints). Ranks sum to 1. With ``resume=True`` (requires
+    storage + run_id), restarts from the last committed checkpoint snapshot
+    (north rule: any run resumable from its last checkpoint).
     """
     edges_norm, init = _prepare(
         edges, vertices, num_salts, hub_threshold, shuffle_partitions
@@ -175,6 +178,16 @@ def pagerank(
         )
         return new_state, delta, [next_dangling]
 
+    start_step = 0
+    if resume:
+        if storage is None or run_id is None:
+            raise ValueError("resume requires storage and run_id")
+        last = storage.last_checkpoint_step("pagerank", run_id)
+        if last is None:
+            raise FileNotFoundError(f"no pagerank checkpoint for run {run_id}")
+        state0 = storage.read_checkpoint(spark, "pagerank", run_id, last)
+        start_step = last
+
     result = iterate(
         spark,
         state0,
@@ -185,6 +198,7 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         storage=storage,
         run_id=run_id,
+        start_step=start_step,
     )
     edges_norm.unpersist()
     return result

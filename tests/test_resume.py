@@ -1,0 +1,44 @@
+"""North-rule resumability: kill after superstep k, resume from the durable
+checkpoint, final state matches the uninterrupted run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.plans.pagerank import pagerank
+from pybiodatafuse_spark.storage import Storage, new_run_id
+from tests.graph_fixture import spark_graph
+
+
+def test_interrupt_and_resume_matches_uninterrupted(spark, pages_df, tmp_path):
+    verts, edges = spark_graph(pages_df)
+    edges = edges.cache()
+    store = Storage(str(tmp_path / "store"))
+    run_id = new_run_id()
+
+    full = pagerank(spark, edges, verts, tol=None, max_iter=12, hub_threshold=5)
+
+    # "crash" after 6 supersteps (checkpoint_every=3 → snapshot at step 6)
+    pagerank(
+        spark, edges, verts, tol=None, max_iter=6, hub_threshold=5,
+        storage=store, run_id=run_id, checkpoint_every=3,
+    )
+    resumed = pagerank(
+        spark, edges, verts, tol=None, max_iter=12, hub_threshold=5,
+        storage=store, run_id=run_id, checkpoint_every=3, resume=True,
+    )
+    assert resumed.supersteps == 12
+
+    a = {r["id"]: r["rank"] for r in full.state.select("id", "rank").collect()}
+    b = {r["id"]: r["rank"] for r in resumed.state.select("id", "rank").collect()}
+    assert a.keys() == b.keys()
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+    # lineage: metrics rows exist for both segments (1-6 live, 7-12 resumed)
+    steps = {
+        r["superstep"]
+        for r in store.read_metrics(spark)
+        .where((F.col("run_id") == run_id) & (F.col("partition_id") == -1))
+        .collect()
+    }
+    assert steps == set(range(1, 13))
