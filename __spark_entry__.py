@@ -524,6 +524,21 @@ def q37_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_ic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: Jiang–Conrath similarity over the part-key tree (nodes < 400)."""
+    from pybiodatafuse_spark.operators.ic_similarity import jiang_conrath_similarity
+
+    p = _t(spark, sf_dir, "part")
+    h = p.where((F.col("p_partkey") > 0) & (F.col("p_partkey") < 400)).select(
+        F.col("p_partkey").alias("child"),
+        F.floor(F.col("p_partkey") / 5).cast("long").alias("parent"),
+    )
+    sim = jiang_conrath_similarity(h)
+    return sim.select("a", "b", F.round("sim", 6).alias("sim")).where(
+        F.col("sim") >= 0.25
+    )
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -827,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_random_walks": q36_random_walks,
         "q37_deterministic_sample": q37_deterministic_sample,
         "q38_rdf_triples": q38_rdf_triples,
+        "q39_ic_similarity": q39_ic_similarity,
     }
 
 
@@ -996,6 +1012,38 @@ def oracle_sql() -> dict[str, str]:
                    '> <urn:bdf:pred:links_to> <urn:bdf:node:' || dst::VARCHAR ||
                    '> .' AS triple
             FROM edges_d WHERE src < 30
+        """,
+        "q39_ic_similarity": """
+            WITH RECURSIVE h AS (
+              SELECT p_partkey::BIGINT AS child, ((p_partkey - p_partkey % 5) / 5)::BIGINT AS parent
+              FROM part WHERE p_partkey > 0 AND p_partkey < 400
+            ),
+            closure(node, ancestor) AS (
+              SELECT child, parent FROM h
+              UNION
+              SELECT c.node, h.parent FROM closure c JOIN h ON c.ancestor = h.child
+            ),
+            -- NB: plain UNION dedup misbehaves downstream of a recursive CTE
+            -- in DuckDB 1.0 (self-pairs duplicated); force DISTINCT.
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT child AS node FROM h UNION ALL SELECT parent FROM h) t),
+            anc AS (SELECT DISTINCT node, ancestor FROM (
+                SELECT node, ancestor FROM closure
+                UNION ALL SELECT node, node FROM nodes) t),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            ic AS (SELECT ancestor AS term, -ln(count(*) / (SELECT n FROM nn)) AS ic
+                   FROM anc GROUP BY 1),
+            mica AS (
+              SELECT a.node AS a, b.node AS b, max(ic.ic) AS ic_mica
+              FROM anc a JOIN anc b ON a.ancestor = b.ancestor AND a.node < b.node
+              JOIN ic ON ic.term = a.ancestor
+              GROUP BY 1, 2
+            )
+            SELECT a, b, sim FROM (
+              SELECT m.a, m.b,
+                     round(1.0 / (1.0 + ia.ic + ib.ic - 2 * m.ic_mica), 6) AS sim
+              FROM mica m JOIN ic ia ON ia.term = m.a JOIN ic ib ON ib.term = m.b
+            ) WHERE sim >= 0.25
         """,
         # q32_lsh_knn, q33_multimodal_features, q36_random_walks: no SQL
         # oracle (LSH hyperplane constants / Arrow-UDF pipeline / CDF

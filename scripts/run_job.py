@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow running from a checkout without --py-files (repo root on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _build_graph(spark, args):
