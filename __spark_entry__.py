@@ -539,6 +539,16 @@ def q39_ic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6/G14: PageRank via per-partition CSR blocks + cogrouped numpy
+    kernel — same 5-superstep semantics as q19 (same SQL oracle)."""
+    from pybiodatafuse_spark.plans.csr import pagerank_csr
+
+    e = _derived_edges(spark, sf_dir)
+    res = pagerank_csr(spark, e, tol=None, max_iter=5, num_blocks=16)
+    return res.state.select("id", F.round(F.col("rank"), 6).alias("rank_r6"))
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_deterministic_sample": q37_deterministic_sample,
         "q38_rdf_triples": q38_rdf_triples,
         "q39_ic_similarity": q39_ic_similarity,
+        "q40_pagerank5_csr": q40_pagerank5_csr,
     }
 
 
@@ -941,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_triangles": _triangles_sql(),
         "q18_components": _components_sql(),
         "q19_pagerank5": _pagerank5_sql(),
+        "q40_pagerank5_csr": _pagerank5_sql(),
         "q20_label_propagation3": _lpa3_sql(),
         "q21_text_stats": f"""
             WITH toks AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS tk FROM documents)
