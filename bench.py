@@ -132,6 +132,20 @@ def main():
         "edge_traversals_per_sec": round(n_edges * steps / pr_wall),
     }
 
+    # headline 1b: CSR fast path on the same snapshot (10 supersteps)
+    from pybiodatafuse_spark.plans.csr import pagerank_csr
+
+    e_path, v_path, _ = ensure_graph_cache(spark, BENCH_PAGES)
+    edges_c = spark.read.parquet(e_path).persist()
+    verts_c = spark.read.parquet(v_path)
+    edges_c.count()
+    t0 = time.monotonic()
+    pagerank_csr(spark, edges_c, verts_c, tol=None, max_iter=10, num_blocks=64)
+    csr_wall = time.monotonic() - t0
+    queries["pagerank_csr_synthetic"] = round(csr_wall, 3)
+    pagerank_stats["csr_superstep_sec"] = round(csr_wall / 10, 3)
+    edges_c.unpersist()
+
     # headline 2: representative driver-gate queries at sf
     qs = entrymod.queries()
     for name in ["q01_pricing_summary", "q17_triangles", "q19_pagerank5",
