@@ -76,11 +76,12 @@ def build_edges(
 
 
 def with_salt(edges: DataFrame, num_salts: int = 8) -> DataFrame:
-    """Assign a salt bucket per edge, deterministic in (src, dst).
+    """Generic deterministic salt bucket per edge (hash of dst) — for
+    spreading a single hot key across partitions in aggregations.
 
-    Downstream rank⋈edges joins key on (src, salt) with the rank side
-    exploded over salts for hub vertices only — see plans/pagerank.py.
-    """
+    NOTE: the PageRank join path does NOT use this; it salts hub-source
+    edges only (non-hub salt = 0) inside ``plans.pagerank._prepare`` so the
+    rank side replicates exclusively for hubs."""
     return edges.withColumn(
         "salt", F.pmod(F.xxhash64("dst"), F.lit(num_salts)).cast("int")
     )
