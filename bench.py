@@ -79,7 +79,11 @@ def _pagerank_job(spark, n_pages: int):
     res.state.unpersist()
     wall = time.monotonic() - t0
     edges.unpersist()
-    return n_edges, PROBE_STEPS, wall, build_sec
+    # steady-state per-superstep wall: median of the post-warmup supersteps —
+    # robust to transient contention spikes from co-tenants on a shared host
+    steady = sorted(res.walls[2:]) if len(res.walls) > 4 else sorted(res.walls)
+    median_step = steady[len(steady) // 2]
+    return n_edges, PROBE_STEPS, wall, build_sec, median_step
 
 
 def _scale_probe(cpus: int) -> dict:
@@ -99,10 +103,13 @@ def run_probe():
     from pybiodatafuse_spark.session import get_spark
 
     spark = get_spark("bench-probe")
-    n_edges, steps, wall, _ = _pagerank_job(spark, BENCH_PAGES)
-    thr = n_edges * steps / wall  # edge-traversals per second
-    print(json.dumps({"n_edges": n_edges, "supersteps": steps, "sec": round(wall, 2),
-                      "edges_per_sec": round(thr)}))
+    n_edges, steps, wall, _, median_step = _pagerank_job(spark, BENCH_PAGES)
+    print(json.dumps({
+        "n_edges": n_edges, "supersteps": steps, "sec": round(wall, 2),
+        "edges_per_sec": round(n_edges * steps / wall),
+        "median_superstep_sec": round(median_step, 3),
+        "edges_per_sec_steady": round(n_edges / median_step),
+    }))
     spark.stop()
 
 
@@ -121,7 +128,7 @@ def main():
     t_total0 = time.monotonic()
 
     # headline 1: full synthetic link-graph pipeline + PageRank supersteps
-    n_edges, steps, pr_wall, build_sec = _pagerank_job(spark, BENCH_PAGES)
+    n_edges, steps, pr_wall, build_sec, median_step = _pagerank_job(spark, BENCH_PAGES)
     queries["extract_build_edges"] = round(build_sec, 3)
     queries["pagerank_synthetic"] = round(pr_wall, 3)
     pagerank_stats = {
@@ -129,6 +136,7 @@ def main():
         "edges": n_edges,
         "supersteps": steps,
         "superstep_sec": round(pr_wall / steps, 3),
+        "median_superstep_sec": round(median_step, 3),
         "edge_traversals_per_sec": round(n_edges * steps / pr_wall),
     }
 
@@ -172,14 +180,18 @@ def main():
         # contend; 4→16 is the clean 4× pair (raw-CPU control: 3.9× on spin
         # loops). Two probes per level, best-of (standard for noisy hosts).
         lo, hi = 4, 16
-        p_lo = max((_scale_probe(lo) for _ in range(2)), key=lambda p: p["edges_per_sec"])
-        p_hi = max((_scale_probe(hi) for _ in range(2)), key=lambda p: p["edges_per_sec"])
-        eff = p_hi["edges_per_sec"] / (4.0 * p_lo["edges_per_sec"])
+        key = "edges_per_sec_steady"  # median-superstep throughput: robust to
+        # transient co-tenant contention on this shared host
+        p_lo = max((_scale_probe(lo) for _ in range(2)), key=lambda p: p[key])
+        p_hi = max((_scale_probe(hi) for _ in range(2)), key=lambda p: p[key])
+        eff = p_hi[key] / (4.0 * p_lo[key])
         result["scaling"] = {
             "cores_lo": lo,
             "cores_hi": hi,
-            "edges_per_sec_lo": p_lo["edges_per_sec"],
-            "edges_per_sec_hi": p_hi["edges_per_sec"],
+            "edges_per_sec_lo": p_lo[key],
+            "edges_per_sec_hi": p_hi[key],
+            "wall_based_lo": p_lo["edges_per_sec"],
+            "wall_based_hi": p_hi["edges_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
         }
 

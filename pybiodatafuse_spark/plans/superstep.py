@@ -50,6 +50,7 @@ class SuperstepResult:
     deltas: list[float] = field(default_factory=list)
     run_id: str = ""
     converged: bool = False
+    walls: list[float] = field(default_factory=list)  # per-superstep seconds
 
 
 def _partition_rows(df: DataFrame) -> dict[int, int]:
@@ -98,6 +99,7 @@ def iterate(
     state = state.localCheckpoint(eager=True)
     rows_in = state.count()
     deltas: list[float] = []
+    walls: list[float] = []
     converged = False
     carry: dict = {}
     step = start_step
@@ -136,6 +138,7 @@ def iterate(
             _free(new_state)
             new_state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
         wall_ms = int((time.monotonic() - t0) * 1000)
+        walls.append((time.monotonic() - t0))
         if storage is not None:
             storage.log_metrics(
                 spark,
@@ -156,7 +159,8 @@ def iterate(
             converged = True
             break
     return SuperstepResult(
-        state=state, supersteps=step, deltas=deltas, run_id=run_id, converged=converged
+        state=state, supersteps=step, deltas=deltas, run_id=run_id,
+        converged=converged, walls=walls,
     )
 
 
