@@ -549,6 +549,19 @@ def q40_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round(F.col("rank"), 6).alias("rank_r6"))
 
 
+def q41_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: 16 deterministic centroid cells, nprobe=4 —
+    value-exact oracle (cell assignment + probe + top-k all in SQL)."""
+    from pybiodatafuse_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivf_topk(e, q, k=5, n_centroids=16, nprobe=4)
+    return res.select("query_id", "vec_id", "cos", F.col("rn").cast("long").alias("rn"))
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -785,6 +798,44 @@ SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
 """
 
 
+def _ivf_sql() -> str:
+    """IVF ANN oracle: centroids = 16 lowest-id vectors; assign = argmax
+    rounded cosine (tie-break centroid_id); probes = top-4 cells per query;
+    search only within probed cells. Mirrors operators/similarity.ivf_topk."""
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC, c.centroid_id ASC
+           ) AS crn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crn = 1
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_cos_sql('q.embedding', 'c.cv')}, 6) DESC, c.centroid_id ASC
+           ) AS crn
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q CROSS JOIN cents c
+  ) WHERE crn <= 4
+),
+s AS (
+  SELECT p.query_id, a.vec_id, round({_cos_sql('p.qv', 'a.v')}, 6) AS cos
+  FROM assign a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
+"""
+
+
 def _neardup_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
@@ -854,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_rdf_triples": q38_rdf_triples,
         "q39_ic_similarity": q39_ic_similarity,
         "q40_pagerank5_csr": q40_pagerank5_csr,
+        "q41_ivf_knn": q41_ivf_knn,
     }
 
 
@@ -971,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_simhash": _simhash_sql(),
         "q27_ngram_jaccard": _jaccard_sql(),
         "q28_knn_bruteforce": _knn_sql(),
+        "q41_ivf_knn": _ivf_sql(),
         "q29_embedding_neardup": _neardup_sql(),
         "q30_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -6,6 +6,11 @@
   scale path. Hyperplanes are deterministic (splitmix64-seeded ±1 matrix);
   bucketing is a pure projection, candidates only form within buckets across
   `n_bands` independent bands (multi-probe by union).
+- :func:`ivf_assign` / :func:`ivf_topk` — IVF (inverted-file) ANN: partition
+  the corpus into centroid cells once (broadcast centroids, map-side argmax —
+  one narrow shuffle to group by cell), then each query probes only its
+  `nprobe` nearest cells. At 100 TB the cell assignment is the persisted
+  index; search touches nprobe/n_centroids of the corpus.
 
 All vector math is built-in (`zip_with` + `aggregate`) — JVM-side, no Python.
 The reference's closest analogue is the embedding-distance scoring in
@@ -100,6 +105,91 @@ def lsh_buckets(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def ivf_centroids(
+    corpus: DataFrame, *, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid set: the ``n_centroids`` corpus vectors with the
+    lowest ids. (Production would plug k-means(sample) centroids in here; the
+    index/search path below is identical either way, and deterministic seeds
+    keep the tests and the DuckDB oracle value-exact.)"""
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv"))
+    )
+
+
+def _nearest_cells(
+    df: DataFrame, centroids: DataFrame, id_name: str, vec_name: str, n: int
+) -> DataFrame:
+    """(id, centroid_id, rn) — the n nearest centroids per row by cosine
+    (rounded to 6 so Spark and the SQL oracle agree on argmax), tie-break on
+    centroid_id. Centroids are broadcast: the scan is shuffle-free; only the
+    per-row top-n window repartitions, keyed by the row id (bounded width)."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        id_name,
+        vec_name,
+        "centroid_id",
+        F.round(cosine_expr(F.col(vec_name), F.col("cv")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy(id_name).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id): every corpus vector labeled with its
+    nearest centroid cell — the IVF index, persisted once and reused."""
+    return _nearest_cells(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        centroids, "vec_id", "v", 1,
+    ).select("vec_id", "v", "centroid_id")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: each query scores only corpus vectors whose IVF cell
+    is among the query's `nprobe` nearest cells.
+
+    Scale shape: index build = one broadcast projection + narrow shuffle;
+    search = equi-join on centroid_id (candidates ≈ nprobe/n_centroids of the
+    corpus) + per-query top-k window. No cross join over the full corpus."""
+    cents = ivf_centroids(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    index = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    probes = _nearest_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        ),
+        cents, "query_id", "qv", nprobe,
+    ).select("query_id", "qv", "centroid_id")
+    scored = (
+        index.join(probes, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
 def lsh_topk(

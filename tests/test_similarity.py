@@ -9,6 +9,9 @@ import pytest
 from pybiodatafuse_spark.operators.similarity import (
     brute_force_topk,
     hyperplanes,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lsh_buckets,
     lsh_topk,
 )
@@ -71,6 +74,39 @@ def test_lsh_prunes_candidates(spark, vecs):
     per_bucket = b.groupBy("band", "bucket").count().collect()
     # 8-bit buckets over 120 vecs: buckets must actually split the space
     assert max(r["count"] for r in per_bucket) < N
+
+
+def test_ivf_full_probe_is_exact(spark, vecs):
+    """With nprobe == n_centroids every cell is searched, so IVF must equal
+    brute force exactly (same rounding, same tie-break)."""
+    df, _ = vecs
+    q = df.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding as query_vec")
+    exact = {
+        (r["query_id"], r["rn"]): (r["vec_id"], r["cos"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["rn"]): (r["vec_id"], r["cos"])
+        for r in ivf_topk(df, q, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_finds_planted_neighbor(spark, vecs):
+    df, _ = vecs
+    q = df.where("vec_id = 0").selectExpr("vec_id as query_id", "embedding as query_vec")
+    res = ivf_topk(df, q, k=5, n_centroids=8, nprobe=2).collect()
+    # vec 1 is near-identical to vec 0 → same cell → found even at nprobe=2
+    assert any(r["vec_id"] == 1 for r in res)
+
+
+def test_ivf_index_partitions_cells(spark, vecs):
+    df, _ = vecs
+    cents = ivf_centroids(df, n_centroids=8)
+    index = ivf_assign(df, cents)
+    assert index.count() == N  # every vector assigned to exactly one cell
+    per_cell = index.groupBy("centroid_id").count().collect()
+    assert len(per_cell) > 1 and max(r["count"] for r in per_cell) < N
 
 
 def test_hyperplanes_deterministic():
