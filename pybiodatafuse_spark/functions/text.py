@@ -85,13 +85,11 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(text)))), " "))
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens with md5-based token hashes.
-
-    bit i of the output is 1 iff sum over tokens of (+1 if bit i of
-    hash64(token) else -1) is positive."""
-    toks = tokens(F.lower(text))
-    hashes = F.transform(toks, lambda t: hash64(t))
+def simhash16_of_hashes(hashes: Column) -> Column:
+    """16-bit SimHash from a per-token hash array. Pass a materialized
+    attribute: the 16 per-bit folds each re-evaluate the array child, so an
+    inlined tokenize+md5 expression would run 16× per row (same interpreted-
+    HOF pitfall as shingles_of_tokens)."""
     out = F.lit(0).cast("long")
     for i in range(16):
         vote = F.aggregate(
@@ -104,9 +102,33 @@ def simhash16(text: Column) -> Column:
     return out
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>)."""
-    toks = tokens(F.lower(text))
+def token_hashes(text: Column) -> Column:
+    """hash64 of each lowercased whitespace token (array<long>)."""
+    return F.transform(tokens(F.lower(text)), lambda t: hash64(t))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens with md5-based token hashes.
+
+    bit i of the output is 1 iff sum over tokens of (+1 if bit i of
+    hash64(token) else -1) is positive. Convenience form; for bulk jobs
+    pre-project :func:`token_hashes` behind a barrier and use
+    :func:`simhash16_of_hashes`."""
+    return simhash16_of_hashes(token_hashes(text))
+
+
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array.
+
+    PERF: pass an *attribute* (a materialized column), not an expression —
+    higher-order-function lambdas are interpreted (no codegen, no
+    subexpression elimination), so every ``element_at`` here re-evaluates its
+    array child. With ``toks`` a plain column reference that's an O(1) array
+    access; with the full ``split+filter`` expression inlined it tokenizes
+    the document once per gram per position (quadratic per doc — measured
+    31 s for 5 000 docs before, ~1 s after). See
+    :func:`pybiodatafuse_spark.operators.dedup.shingle_rows` for the
+    barrier-projection pattern that keeps the attribute materialized."""
     # guard: F.sequence(1, 0) would DESCEND in Spark, so gate on size >= n
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
@@ -117,3 +139,10 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) straight from text.
+    Convenience for small inputs/tests; for bulk jobs pre-tokenize and use
+    :func:`shingles_of_tokens` (see its PERF note)."""
+    return shingles_of_tokens(tokens(F.lower(text)), n)

@@ -24,8 +24,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pybiodatafuse_spark.functions.text import hash64, shingles, simhash16
+from pybiodatafuse_spark.functions.text import (
+    hash64,
+    shingles_of_tokens,
+    tokens,
+)
 from pybiodatafuse_spark.operators.similarity import cosine_expr
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str, n: int, partitions: int | None = None
+) -> DataFrame:
+    """(doc, s) exploded shingle rows, tokenizing each document exactly once.
+
+    The repartition between the tokenize projection and the shingle transform
+    is load-bearing twice over: (1) it spreads the CPU-heavy transform across
+    the cluster even when the input is a few big files, and (2) it is a
+    barrier Catalyst cannot collapse projections across, so the shingle
+    lambda sees a *materialized* token array instead of re-inlining the
+    tokenizer per element (see shingles_of_tokens PERF note)."""
+    part = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    tk = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("tk")
+    ).repartition(part, "doc")
+    return tk.select("doc", F.explode(shingles_of_tokens(F.col("tk"), n)).alias("s"))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -51,10 +73,11 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 100,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) over distinct word-n-gram shingle sets, for
-    pairs sharing ≥1 blocking shingle (document frequency ≤ max_shingle_df)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    )
+    pairs sharing ≥1 blocking shingle (document frequency ≤ max_shingle_df).
+
+    The shingle relation feeds four subplans (sizes, df filter, both join
+    sides) — persist it so tokenize+shingle runs once, not four times."""
+    sh = shingle_rows(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= max_shingle_df
@@ -89,9 +112,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, sig_0..sig_{k-1}): MinHash over word-n-gram shingles; hash
     function j = hash64(shingle || '#j'). One explode + one groupBy."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    )
+    sh = shingle_rows(docs, id_col, text_col, n)
     aggs = [
         F.min(hash64(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"sig_{j}")
         for j in range(k)
@@ -112,20 +133,25 @@ def minhash_lsh_pairs(
     band of their MinHash signature (k sigs split into `bands` bands)."""
     assert k % bands == 0
     rows = k // bands
-    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k, n=n)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-            )
+    # Persist the signature table: it is tiny (one row per doc, k ints) and
+    # referenced from BOTH sides of the bucket self-join — without the persist
+    # the whole shingle→minhash pipeline re-executes once per join side.
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k, n=n).persist()
+    # one-pass banding: explode an inline band array instead of a k-way union
+    # (a union of per-band selects re-reads sig once per band)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+            ).alias("bucket"),
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+        for b in range(bands)
+    ])
+    banded = sig.select("doc", F.explode(band_structs).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b_ = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -139,8 +165,20 @@ def minhash_lsh_pairs(
 def simhash_docs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) — 16-bit SimHash; equal values ⇒ near-dup cluster."""
-    return docs.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash) — 16-bit SimHash; equal values ⇒ near-dup cluster.
+
+    Token hashes are projected once behind a repartition barrier so the 16
+    per-bit folds see a materialized array (not 16× tokenize+md5 per row)."""
+    from pybiodatafuse_spark.functions.text import (
+        simhash16_of_hashes,
+        token_hashes,
+    )
+
+    part = docs.sparkSession.sparkContext.defaultParallelism
+    th = docs.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("th")
+    ).repartition(part, id_col)
+    return th.select(F.col(id_col), simhash16_of_hashes(F.col("th")).alias("simhash"))
 
 
 def embedding_near_dup_pairs(
