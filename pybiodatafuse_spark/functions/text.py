@@ -52,16 +52,24 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def predict_lang(text: Column) -> Column:
     """Stopword-voting language id: language with the highest stopword hit
-    count; ties broken alphabetically; 'und' (undetermined) when no hits."""
+    count; ties broken alphabetically; 'und' (undetermined) when no hits.
+
+    Implemented as array_max over (hits, -lang_index, lang) structs — struct
+    ordering gives max hits then alphabetically-first lang. (A chained
+    when(entry > best, entry).otherwise(best) fold would embed each prior
+    entry twice per level: exponential expression-tree growth and repeated
+    evaluation of every lang's filter pass.)"""
     toks = tokens(F.lower(text))
-    best = None
-    for lang in sorted(STOPWORDS):
+    entries = []
+    for i, lang in enumerate(sorted(STOPWORDS)):
         stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        best = entry if best is None else F.when(
-            (entry["hits"] > best["hits"]), entry
-        ).otherwise(best)
+        entries.append(
+            F.struct(
+                hits.alias("hits"), F.lit(-i).alias("neg_idx"), F.lit(lang).alias("lang")
+            )
+        )
+    best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
