@@ -85,8 +85,35 @@ def extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     )
 
 
+_BOTH_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(_BOTH_TYPE)
+def extract_both_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    """text + links in ONE pass: the (large, binary) html column crosses the
+    JVM→Arrow→pandas boundary once instead of once per extractor."""
+    return pd.DataFrame(
+        {
+            "text": html.map(extract_text),
+            "links": [extract_links(h, u) for h, u in zip(html, base_url)],
+        },
+        index=html.index,
+    )
+
+
 def with_extracted(df, html_col: str = "html", url_col: str = "url") -> "Column":
-    """Convenience projection adding ``extracted_text`` and ``links`` columns."""
-    return df.withColumn("extracted_text", extract_text_udf(F.col(html_col))).withColumn(
-        "links", extract_links_udf(F.col(html_col), F.col(url_col))
+    """Convenience projection adding ``extracted_text`` and ``links`` columns.
+    Uses the fused single-pass UDF so the html payload is Arrow-transferred
+    once (at 100 TB the dominant cost of this stage is moving html bytes)."""
+    both = extract_both_udf(F.col(html_col), F.col(url_col))
+    return (
+        df.withColumn("_x", both)
+        .withColumn("extracted_text", F.col("_x.text"))
+        .withColumn("links", F.col("_x.links"))
+        .drop("_x")
     )

@@ -145,12 +145,16 @@ def _hash_min(
     run_id: str | None,
     checkpoint_every: int,
 ) -> DataFrame:
-    sym = symmetrize(edges).persist()
+    # loop-invariant adjacency: pre-partition on the join key so its cached
+    # partitioning satisfies the superstep join and only the O(V) label state
+    # shuffles per superstep (same reuse pattern as plans.pagerank._prepare)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(edges).repartition(parts, "src").persist()
     state0 = verts.select("id", F.col("id").alias("label"), F.lit(1).alias("changed"))
 
     def step(state: DataFrame, k: int, carry: dict):
         nbr_min = (
-            state.join(sym, state["id"] == sym["src"])
+            state.hint("shuffle_hash").join(sym, state["id"] == sym["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )

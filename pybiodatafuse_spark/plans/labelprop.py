@@ -40,13 +40,21 @@ def label_propagation(
             edges.select(F.col("dst").alias("id"))
         )
     ).dropDuplicates(["id"])
-    sym = symmetrize(edges).persist()
+    # Hash-partition the loop-invariant adjacency on the join key with exactly
+    # spark.sql.shuffle.partitions partitions: its cached partitioning then
+    # satisfies the superstep join's distribution, so only the O(V) label
+    # state shuffles per superstep — never the O(E) edge table (same reuse
+    # pattern as plans.pagerank._prepare; measured dominant there).
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(edges).repartition(parts, "src").persist()
     state0 = verts.select("id", F.col("id").alias("label"), F.lit(1).alias("changed"))
 
     def step(state: DataFrame, k: int, carry: dict):
-        nbr_labels = state.join(sym, state["id"] == sym["src"]).select(
-            F.col("dst").alias("id"), "label"
-        )
+        # shuffle_hash: the O(V) state side builds the hash map; SMJ would
+        # re-sort the cached adjacency every superstep
+        nbr_labels = state.hint("shuffle_hash").join(
+            sym, state["id"] == sym["src"]
+        ).select(F.col("dst").alias("id"), "label")
         winner = (
             nbr_labels.groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))

@@ -59,8 +59,18 @@ def _prepare(
             .alias("salt"),
         )
     )
-    if shuffle_partitions:
-        edges_norm = edges_norm.repartition(shuffle_partitions, "src", "salt")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    # ALWAYS hash-partition the loop-invariant side on the join keys with
+    # exactly spark.sql.shuffle.partitions partitions: the persisted exchange
+    # output then *satisfies* the join's ClusteredDistribution(src, salt), so
+    # EnsureRequirements adds NO exchange for the edge side and each superstep
+    # shuffles only the O(V) rank rows — without this the O(E) edge table
+    # re-shuffles every superstep (measured: the dominant superstep cost at
+    # 27M edges, and the reason 4→16-core scaling collapsed to ~1.6×).
+    edges_norm = edges_norm.repartition(shuffle_partitions, "src", "salt")
     edges_norm = edges_norm.persist(StorageLevel.MEMORY_AND_DISK)
 
     if vertices is not None:

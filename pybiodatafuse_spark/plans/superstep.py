@@ -112,7 +112,10 @@ def iterate(
         # localCheckpoint materializes to executor-local storage (one job);
         # durable parquet/Iceberg snapshots below stay on the
         # `checkpoint_every` cadence for resume.
-        new_state = new_state.localCheckpoint(eager=True)
+        # eager=False: the checkpoint materializes lazily inside the SAME
+        # action as the fused agg below — one Spark job per superstep instead
+        # of two (materialize + agg), halving per-superstep fixed overhead.
+        new_state = new_state.localCheckpoint(eager=False)
         aggs = [F.count(F.lit(1)).alias("_n")]
         if delta_expr is not None:
             aggs.append(delta_expr.alias("_delta"))
