@@ -161,7 +161,7 @@ def main():
     verts_c = spark.read.parquet(v_path)
     edges_c.count()
     t0 = time.monotonic()
-    pagerank_csr(spark, edges_c, verts_c, tol=None, max_iter=10, num_blocks=64)
+    pagerank_csr(spark, edges_c, verts_c, tol=None, max_iter=10)
     csr_wall = time.monotonic() - t0
     queries["pagerank_csr_synthetic"] = round(csr_wall, 3)
     pagerank_stats["csr_superstep_sec"] = round(csr_wall / 10, 3)
