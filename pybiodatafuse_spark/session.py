@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # explicit (it's the default): reused Python workers are what make the
+        # CSR sidecar block cache (plans/csr._WORKER_BLOCK_CACHE) a hit after
+        # the first superstep
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -69,6 +69,47 @@ def test_superstep_join_is_not_broadcast_or_sortmerge(spark):
     edges_norm.unpersist()
 
 
+def test_superstep_edge_side_never_reshuffles(spark):
+    """The loop-invariant edge table is pre-partitioned on the join keys, so
+    the executed superstep join must read it straight from the cache with NO
+    Exchange above the InMemoryTableScan — each superstep shuffles only the
+    O(V) rank rows. Regressing this re-shuffles O(E) per superstep (measured
+    1.6× superstep cost at 27M edges and the collapse of N→4N scaling)."""
+    from pybiodatafuse_spark.plans.pagerank import _prepare
+
+    edges = spark.createDataFrame(
+        [(i, (i + 3) % 60, 1.0, 1) for i in range(60)],
+        "src long, dst long, weight double, etype int",
+    )
+    edges_norm, init = _prepare(edges, None, 4, 1000, None)
+    # salt must be a REAL column (explode output, as in the actual step): a
+    # literal salt would constant-fold out of the join keys, change the
+    # required distribution to [src] alone, and force a spurious exchange
+    ranks = init.select(
+        "id",
+        F.lit(0.02).alias("rank"),
+        F.explode(F.array(F.lit(0).cast("int"))).alias("salt"),
+    ).hint("shuffle_hash")
+    joined = ranks.join(
+        edges_norm,
+        (ranks["id"] == edges_norm["src"]) & (ranks["salt"] == edges_norm["salt"]),
+    )
+    joined.count()  # execute so AQE finalizes the plan
+    plan = _plan(joined)
+    assert "InMemoryTableScan" in plan and "ShuffledHashJoin" in plan, plan
+    # the join's edge child (the right branch, ending at the cache scan) must
+    # contain NO Exchange: its cached partitioning satisfies the join
+    lines = plan.splitlines()
+    scan_i = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    start_i = next(
+        i for i in range(scan_i, -1, -1) if lines[i].lstrip().startswith("+- ")
+        and len(lines[i]) - len(lines[i].lstrip()) <= 3
+    )
+    edge_branch = "\n".join(lines[start_i:scan_i])
+    assert "Exchange" not in edge_branch, plan
+    edges_norm.unpersist()
+
+
 def test_whole_stage_codegen_in_agg(spark, pages_path):
     df = (
         spark.read.parquet(pages_path)
