@@ -47,7 +47,12 @@ def ensure_graph_cache(spark, n_pages: int) -> tuple[str, str, float]:
     e_path, v_path = os.path.join(base, "edges"), os.path.join(base, "vertices")
     done = os.path.join(base, "_DONE")
     if os.path.exists(done):
-        return e_path, v_path, 0.0
+        with open(done) as f:
+            txt = f.read().strip()
+        try:  # original (one-time) build cost, not 0, so cache hits still report it
+            return e_path, v_path, float(txt)
+        except ValueError:
+            return e_path, v_path, 0.0
     t0 = time.monotonic()
     from pyspark import StorageLevel
 
@@ -61,9 +66,10 @@ def ensure_graph_cache(spark, n_pages: int) -> tuple[str, str, float]:
     verts.write.mode("overwrite").parquet(v_path)
     verts.unpersist()
     pages.unpersist()
+    build_sec = time.monotonic() - t0
     with open(done, "w") as f:
-        f.write("ok")
-    return e_path, v_path, time.monotonic() - t0
+        f.write(f"{build_sec:.3f}")
+    return e_path, v_path, build_sec
 
 
 PROBE_STEPS = int(os.environ.get("SPARK_GRAFT_PROBE_STEPS", "10"))
