@@ -562,6 +562,25 @@ def q41_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "vec_id", "cos", F.col("rn").cast("long").alias("rn"))
 
 
+def q42_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: link-prediction candidate scoring — anti-join known pairs,
+    ensemble-averaged sigmoid(cosine) scores, top-5 per source (the
+    DREAMwalk find_candidates pipeline shape)."""
+    from pybiodatafuse_spark.operators.linkpred import find_candidates
+
+    e = _t(spark, sf_dir, "embeddings")
+    sources = e.where(F.col("vec_id") < 10).select("vec_id")
+    targets = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).select("vec_id")
+    # deterministic stand-in for the reference's known-association file
+    known = (
+        sources.select(F.col("vec_id").alias("src"))
+        .crossJoin(targets.select(F.col("vec_id").alias("dst")))
+        .where((F.col("src") + F.col("dst")) % 7 == 0)
+    )
+    res = find_candidates(e, sources, targets, known, k=5, n_models=3)
+    return res.select("src", "dst", "avg_prob", F.col("rn").cast("long").alias("rn"))
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -836,6 +855,27 @@ SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
 """
 
 
+def _linkpred_sql() -> str:
+    """G10 oracle: anti-join of known pairs, 3-model sigmoid(cos + 0.1m)
+    ensemble average, top-5 per source. Mirrors operators/linkpred."""
+    cos = _cos_sql("s.ev_s", "t.ev_t")
+    sig = "1.0/(1.0+exp(-({c} + {off}::DOUBLE)))"
+    avg = "(" + " + ".join(
+        sig.format(c=cos, off=off) for off in ("0.0", "0.1", "0.2")
+    ) + ")/3.0"
+    return f"""
+WITH s AS (SELECT vec_id AS src, embedding AS ev_s FROM embeddings WHERE vec_id < 10),
+t AS (SELECT vec_id AS dst, embedding AS ev_t FROM embeddings WHERE vec_id >= 100 AND vec_id < 150),
+sc AS (
+  SELECT s.src, t.dst, round({avg}, 6) AS avg_prob
+  FROM s CROSS JOIN t
+  WHERE s.src <> t.dst AND (s.src + t.dst) % 7 <> 0
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY avg_prob DESC, dst ASC) AS rn FROM sc)
+SELECT src, dst, avg_prob, rn FROM r WHERE rn <= 5
+"""
+
+
 def _neardup_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
@@ -906,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ic_similarity": q39_ic_similarity,
         "q40_pagerank5_csr": q40_pagerank5_csr,
         "q41_ivf_knn": q41_ivf_knn,
+        "q42_link_prediction": q42_link_prediction,
     }
 
 
@@ -1024,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "q27_ngram_jaccard": _jaccard_sql(),
         "q28_knn_bruteforce": _knn_sql(),
         "q41_ivf_knn": _ivf_sql(),
+        "q42_link_prediction": _linkpred_sql(),
         "q29_embedding_neardup": _neardup_sql(),
         "q30_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,0 +1,68 @@
+"""Link-prediction candidate scoring (G10): numpy-oracle exactness, known-
+pair exclusion, ranking determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pybiodatafuse_spark.operators.linkpred import find_candidates
+
+DIM = 8
+N = 40
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(N, DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    return df, base
+
+
+def _oracle(base, S, T, known, k=5, n_models=3):
+    x = base.astype(np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    out = {}
+    for s in S:
+        rows = []
+        for t in T:
+            if t == s or (s, t) in known:
+                continue
+            cos = float(x[s] @ x[t] / (norms[s] * norms[t]))
+            probs = [1.0 / (1.0 + np.exp(-(cos + 0.1 * m))) for m in range(n_models)]
+            rows.append((t, round(sum(probs) / n_models, 6)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        out[s] = rows[:k]
+    return out
+
+
+def test_candidates_match_numpy_oracle(spark, emb):
+    df, base = emb
+    S, T = [0, 1, 2], list(range(10, 30))
+    known = {(s, t) for s in S for t in T if (s + t) % 5 == 0}
+    sources = spark.createDataFrame([(s,) for s in S], "vec_id long")
+    targets = spark.createDataFrame([(t,) for t in T], "vec_id long")
+    known_df = spark.createDataFrame(list(known), "src long, dst long")
+    got = {}
+    for r in find_candidates(df, sources, targets, known_df, k=5).collect():
+        got.setdefault(r["src"], []).append((r["rn"], r["dst"], r["avg_prob"]))
+    want = _oracle(base, S, T, known)
+    for s in S:
+        got_sorted = [(d, p) for _, d, p in sorted(got[s])]
+        assert [d for d, _ in got_sorted] == [d for d, _ in want[s]]
+        assert all(abs(p - wp) < 1e-6 for (_, p), (_, wp) in zip(got_sorted, want[s]))
+
+
+def test_known_pairs_never_returned(spark, emb):
+    df, _ = emb
+    sources = spark.createDataFrame([(0,)], "vec_id long")
+    targets = spark.createDataFrame([(t,) for t in range(10, 20)], "vec_id long")
+    known = spark.createDataFrame([(0, t) for t in range(10, 18)], "src long, dst long")
+    res = find_candidates(df, sources, targets, known, k=10).collect()
+    returned = {(r["src"], r["dst"]) for r in res}
+    assert returned == {(0, 18), (0, 19)}  # only the two unknown targets
