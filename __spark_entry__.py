@@ -581,6 +581,23 @@ def q42_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("src", "dst", "avg_prob", F.col("rn").cast("long").alias("rn"))
 
 
+def q43_skipgram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: skip-gram (SGNS) node embeddings over random walks — distributed
+    per-partition training + parameter averaging. No SQL oracle (iterative
+    SGD); determinism + community-recovery exactness in tests/test_embeddings."""
+    from pybiodatafuse_spark.plans.embeddings import skipgram_embeddings
+    from pybiodatafuse_spark.plans.walks import random_walks
+
+    e = _derived_edges(spark, sf_dir).where((F.col("src") < 40) & (F.col("dst") < 40))
+    starts = e.select(F.col("src").alias("id")).distinct()
+    walks = random_walks(spark, e, starts, num_walks=2, walk_length=6)
+    emb = skipgram_embeddings(spark, walks, dim=8, epochs=1, partitions=8)
+    return emb.select(
+        "id", F.round(F.element_at("vector", 1), 6).alias("v0"),
+        F.lit(8).alias("dim"),
+    )
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -947,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pagerank5_csr": q40_pagerank5_csr,
         "q41_ivf_knn": q41_ivf_knn,
         "q42_link_prediction": q42_link_prediction,
+        "q43_skipgram_embeddings": q43_skipgram_embeddings,
     }
 
 

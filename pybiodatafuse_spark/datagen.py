@@ -9,10 +9,13 @@ numpy (no per-row RNG objects). Generation runs distributed via
 ``spark.range(n).mapInPandas`` so the bench-scale table (100k+ pages) never
 materializes on the driver.
 
-Graph guarantees (FIXTURES.md): two weakly-connected components (90/10 page
-split, links never cross), dangling pages (page_id % 97 == 13), a hub (the
-first page of each component receives power-law preferential mass), natural
-triangles from skewed targeting, power-law domain sizes.
+Graph guarantees (FIXTURES.md): two GIANT weakly-connected components (90/10
+page split, links never cross between them; u³-skewed targeting means some
+high-id dangling pages receive no links either and form additional singleton
+components — e.g. 798 total at 1M pages), dangling pages
+(page_id % 97 == 13), a hub (the first page of each component receives
+power-law preferential mass), natural triangles from skewed targeting,
+power-law domain sizes.
 """
 
 from __future__ import annotations
