@@ -30,10 +30,25 @@ from pybiodatafuse_spark.functions.ids import vertex_id
 from pybiodatafuse_spark.functions.urlnorm import canonicalize_url_col
 
 
+def _ensure_parallelism(pages: DataFrame) -> DataFrame:
+    """Input splits are sized by BYTES (spark.sql.files.maxPartitionBytes) but
+    extraction cost is CPU per row — a compact html parquet (e.g. 251 MB for
+    1M pages) reads as ~2 splits and serializes the UDF stage. Measured: the
+    1M-page extract+build ran 158 s at split-parallelism vs ~25 s
+    repartitioned to cores. No-op when the scan already has enough splits
+    (the 100 TB case — never add a shuffle there)."""
+    sc = pages.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        return pages.repartition(target)
+    return pages
+
+
 def build_vertices(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """vertices(id, url, type) from the pages table. One row per canonical url."""
     return (
-        pages.select(canonicalize_url_col(F.col(url_col)).alias("url"))
+        _ensure_parallelism(pages)
+        .select(canonicalize_url_col(F.col(url_col)).alias("url"))
         .where(F.col("url").isNotNull())
         .dropDuplicates(["url"])
         .select(vertex_id(F.col("url")).alias("id"), "url", F.lit("page").alias("type"))
@@ -54,7 +69,8 @@ def build_edges(
     rows through the shuffle.
     """
     links = (
-        pages.select(
+        _ensure_parallelism(pages)
+        .select(
             canonicalize_url_col(F.col("url")).alias("page_url"),
             F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("link_url"),
         )
