@@ -598,6 +598,22 @@ def q43_skipgram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 full semantics: edge-type-biased walks with teleport (DREAMwalk
+    traversal). Rows-only (hash CDF loop); exact oracle in tests/test_walks."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    e = _derived_edges(spark, sf_dir).where((F.col("src") < 30) & (F.col("dst") < 30))
+    e = e.withColumn("etype", (F.col("dst") % 2).cast("int"))
+    starts = e.select(F.col("src").alias("id")).distinct()
+    M = [[0.7, 0.3], [0.2, 0.8]]
+    res = biased_random_walks(
+        spark, e, starts, M, num_walks=2, walk_length=6,
+        teleport=0.1, teleport_targets=list(range(10)),
+    )
+    return res.select("walk_id", "start", F.size("path").cast("long").alias("path_len"))
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -965,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_ivf_knn": q41_ivf_knn,
         "q42_link_prediction": q42_link_prediction,
         "q43_skipgram_embeddings": q43_skipgram_embeddings,
+        "q44_biased_walks": q44_biased_walks,
     }
 
 

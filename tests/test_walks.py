@@ -63,3 +63,77 @@ def test_walks_deterministic_across_runs(spark):
     b = sorted(map(tuple, random_walks(spark, edges, starts, num_walks=2, walk_length=5)
                    .select("walk_id", "path").collect()))
     assert a == b
+
+
+def oracle_biased_walk(
+    adj, walk_id, start, length, M, teleport=0.0, targets=None
+):
+    """adj: src -> sorted list of (dst, weight, etype). Mirrors
+    plans.walks.biased_random_walks exactly."""
+    path, cur, pet = [start], start, -1
+    for step in range(1, length + 1):
+        u_tp = h64(f"{walk_id}#{step}#tp") / float(1 << 60)
+        if targets and teleport > 0 and u_tp < teleport:
+            cur = targets[int(u_tp / teleport * len(targets))]
+            pet = -1
+            path.append(cur)
+            continue
+        nbrs = adj.get(cur)
+        if not nbrs:
+            break
+        bw = [w * (1.0 if pet < 0 else M[pet][t]) for _, w, t in nbrs]
+        total = sum(bw)
+        if total <= 0:
+            break
+        u = h64(f"{walk_id}#{step}") / float(1 << 60)
+        acc, cum = 0.0, []
+        for w in bw:
+            acc += w
+            cum.append(acc / total)
+        idx = sum(1 for c in cum if c < u)
+        cur, pet = nbrs[idx][0], nbrs[idx][2]
+        path.append(cur)
+    return path
+
+
+def test_biased_walks_match_oracle(spark):
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    # two edge types; type-1->type-0 transitions suppressed by the matrix
+    es = [
+        (0, 1, 2.0, 0), (0, 2, 1.0, 1), (1, 2, 1.0, 0), (1, 3, 2.0, 1),
+        (2, 0, 1.0, 1), (2, 3, 3.0, 0), (3, 4, 1.0, 0), (3, 0, 1.0, 1),
+    ]
+    M = [[0.7, 0.3], [0.1, 0.9]]
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    starts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in biased_random_walks(
+            spark, edges, starts, M, num_walks=2, walk_length=7,
+            teleport=0.15, teleport_targets=[0, 1, 2, 3],
+        ).collect()
+    }
+    adj = {}
+    for a, b, w, t in es:
+        adj.setdefault(a, []).append((b, w, t))
+    for a in adj:
+        adj[a].sort()
+    assert len(got) == 8
+    for start in range(4):
+        for w in range(2):
+            wid = start * 2 + w
+            want = oracle_biased_walk(adj, wid, start, 7, M, 0.15, [0, 1, 2, 3])
+            assert got[wid] == want, (wid, got[wid], want)
+
+
+def test_biased_walks_zero_bias_row_ends_walk(spark):
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    # after a type-0 edge, all further transitions have zero probability
+    es = [(0, 1, 1.0, 0), (1, 2, 1.0, 0), (1, 3, 1.0, 1)]
+    M = [[0.0, 0.0], [1.0, 1.0]]
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    starts = spark.createDataFrame([(0,)], "id long")
+    got = biased_random_walks(spark, edges, starts, M, num_walks=1, walk_length=5).collect()
+    assert list(got[0]["path"]) == [0, 1]  # first hop unbiased, then stuck
