@@ -105,6 +105,96 @@ def extract_features(
     return src.mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 4, height: int = 4, decode_fn: str = "fake"
+) -> DataFrame:
+    """image rows → (media_id, width, height, pixels[w*h]) — the resize
+    kernel's Spark contract. Fake decoder: average-pool the payload bytes
+    into a w×h grid (where PIL's ``Image.resize`` plugs in)."""
+    if decode_fn not in ("fake", "real"):
+        raise ValueError(decode_fn)
+    src = media.where(F.col("kind") == "image").select("media_id", "payload")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_fn == "real":
+                raise NotImplementedError("PIL unavailable; use decode_fn='fake'")
+            out = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p or b"\x00"), dtype=np.uint8)
+                cells = np.array_split(arr.astype(np.float64), width * height)
+                out.append([int(c.mean()) if c.size else 0 for c in cells])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "pixels": out,
+                }
+            )
+
+    return src.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, *, every_ms: int = 250, decode_fn: str = "fake"
+) -> DataFrame:
+    """video rows → one row per sampled frame (media_id, frame_idx,
+    frame_feature) — the frame-sampling contract (ffmpeg's seek+decode plugs
+    in). Fake decoder: frame count = duration_ms // every_ms, features =
+    byte-stat slice per frame. Output is a per-frame EXPLOSION (row count
+    grows), which is the real shape downstream training pipelines consume."""
+    if decode_fn not in ("fake", "real"):
+        raise ValueError(decode_fn)
+    src = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_fn == "real":
+                raise NotImplementedError("ffmpeg unavailable; use decode_fn='fake'")
+            ids, idxs, feats = [], [], []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                n_frames = max(1, int((dur or every_ms) // every_ms))
+                arr = np.frombuffer(bytes(p or b"\x00"), dtype=np.uint8).astype(np.float64)
+                for fi in range(n_frames):
+                    seg = arr[fi::n_frames]
+                    chunks = np.array_split(seg if seg.size else np.zeros(1), 4)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    feats.append(
+                        np.array(
+                            [c.mean() if c.size else 0.0 for c in chunks],
+                            dtype=np.float32,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_feature": feats}
+            )
+
+    return src.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for plumbing tests."""
     rows = []

@@ -122,3 +122,34 @@ def test_streaming_edges_and_windows(spark, pages_df, tmp_path):
     res = spark.sql("select * from wincounts").collect()
     assert sum(r["n"] for r in res) == 9
     assert len(res) == 3
+
+
+def test_multimodal_resize_plumbing(spark):
+    from pybiodatafuse_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 30)
+    res = resize_images(media, width=4, height=4).collect()
+    assert len(res) == 10  # every 3rd row is an image
+    for r in res:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(r["pixels"]) == 16
+        assert all(0 <= px <= 255 for px in r["pixels"])
+    # deterministic
+    res2 = resize_images(synth_media(spark, 30), width=4, height=4).collect()
+    assert sorted(map(tuple, ((r["media_id"], tuple(r["pixels"])) for r in res))) == \
+           sorted(map(tuple, ((r["media_id"], tuple(r["pixels"])) for r in res2)))
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark):
+    from pybiodatafuse_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 30)  # videos have duration_ms=1000
+    res = sample_frames(media, every_ms=250).collect()
+    vids = {r["media_id"] for r in res}
+    assert len(vids) == 10
+    assert len(res) == 40  # 4 frames per video
+    per = {}
+    for r in res:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert len(r["frame_feature"]) == 4
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
