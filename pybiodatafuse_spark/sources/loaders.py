@@ -43,6 +43,29 @@ def dea_from_csv(spark: SparkSession, path: str, id_col: str | None = None) -> D
     return df.withColumnRenamed(first, "identifier")
 
 
+def dea_from_excel(
+    spark: SparkSession, path: str, id_col: str | None = None, engine: str = "openpyxl"
+) -> DataFrame:
+    """DEA table from .xlsx/.xls (SURVEY S2/S4: ``data_loader.py:52-87``
+    reads excel via pandas). Excel is driver-side small input in the
+    reference too — read with pandas, then parallelize. Gated behind an
+    import-try: this container ships no excel engine, so without
+    openpyxl/xlrd this raises ImportError with a clear message rather than
+    failing deep inside pandas."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, engine=engine)
+    except ImportError as ex:  # no openpyxl/xlrd in this environment
+        raise ImportError(
+            "dea_from_excel requires an excel engine (openpyxl/xlrd); "
+            "install one or convert the sheet to csv and use dea_from_csv"
+        ) from ex
+    first = id_col or pdf.columns[0]
+    pdf = pdf.rename(columns={first: "identifier"})
+    return spark.createDataFrame(pdf)
+
+
 def filter_dea(
     df: DataFrame,
     col: str,

@@ -82,3 +82,23 @@ def test_rdf_triples(spark):
     et = edge_triples(edges).collect()[0]["triple"]
     assert nt == '<urn:bdf:node:1> <urn:bdf:pred:type> "page" .'
     assert et == "<urn:bdf:node:1> <urn:bdf:pred:links_to> <urn:bdf:node:2> ."
+
+
+def test_dea_from_excel_gated(spark, tmp_path):
+    """S4: excel loader exists; without an excel engine it raises a clear
+    ImportError (the container ships none), not a deep pandas failure."""
+    import pytest
+
+    from pybiodatafuse_spark.sources.loaders import dea_from_excel
+
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    if has_engine:
+        pytest.skip("excel engine present; gating path not exercisable")
+    p = tmp_path / "x.xlsx"
+    p.write_bytes(b"not a real workbook")  # engine import happens before parse
+    with pytest.raises(ImportError, match="excel engine"):
+        dea_from_excel(spark, str(p))
