@@ -909,6 +909,171 @@ SELECT src, dst, avg_prob, rn FROM r WHERE rn <= 5
 """
 
 
+def _lsh_sql() -> str:
+    """q32 oracle: the 16 deterministic ±1 hyperplanes (splitmix64, seed 42 —
+    operators/similarity.hyperplanes) inlined as SQL literals; bucketing,
+    banded candidate join, and cosine top-k all in DuckDB."""
+    from pybiodatafuse_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 16, seed=42)  # bits_per_band=4 × n_bands=4
+    rows = []
+    for p_idx in range(16):
+        band, bit = p_idx // 4, p_idx % 4
+        vals = ", ".join("1.0" if v > 0 else "-1.0" for v in planes[p_idx])
+        rows.append(f"({band}, {bit}, [{vals}])")
+    values = ",\n".join(rows)
+    dot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> pl.p[i] * e.embedding[i]::DOUBLE), (x, y) -> x + y)"
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {values}) AS t(band, bit, p)),
+cb AS (
+  SELECT e.vec_id, pl.band,
+         sum(CASE WHEN {dot} > 0 THEN (1::BIGINT << pl.bit) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM cb WHERE vec_id < 10),
+cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM cb c JOIN qb q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+s AS (
+  SELECT cd.query_id, cd.vec_id,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM cands cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+SELECT query_id, vec_id, cos, rn FROM r WHERE rn <= 5
+"""
+
+
+def _multimodal_sql() -> str:
+    """q33 oracle: synth_media payloads are bytes((i*7+j)%251 for j<n_bytes)
+    with n_bytes = 64 + (i%5)*32 (divisible by 8), so feature chunk 0 is the
+    exact integer mean of the first n_bytes/8 bytes, stored float32."""
+    return """
+WITH m AS (SELECT unnest(range(64)) AS media_id),
+p AS (SELECT media_id, (64 + (media_id % 5) * 32)::BIGINT AS n_bytes FROM m),
+f AS (
+  SELECT media_id::BIGINT AS media_id, n_bytes,
+         round((
+           (list_reduce(list_transform(range((n_bytes // 8)::INT),
+                                       j -> (media_id * 7 + j) % 251),
+                        (a, b) -> a + b))::DOUBLE / (n_bytes // 8)
+         )::FLOAT::DOUBLE, 4) AS f0
+  FROM p
+)
+SELECT media_id, n_bytes, f0 FROM f
+"""
+
+
+_H_SPACE = "1152921504606846976.0"  # 2^60, the hash64 → u01 divisor
+
+
+def _walks_sql() -> str:
+    """q36 oracle: the 6-step hash-seeded walk loop unrolled as CTEs — the
+    CDF inversion (uniform weights ⇒ cdf_i = i/deg) and md5-hash u are
+    bit-identical to plans/walks.random_walks."""
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS dsts, count(*)::BIGINT AS deg"
+        " FROM edges_d GROUP BY src),",
+        "starts AS (SELECT DISTINCT src AS id FROM edges_d WHERE src < 50),",
+        "s0 AS (SELECT (id*2 + w.w)::BIGINT AS walk_id, id AS start, id AS cur,"
+        " 1::BIGINT AS plen, FALSE AS done"
+        " FROM starts CROSS JOIN (SELECT unnest(range(2)) AS w) w),",
+    ]
+    for k in range(1, 7):
+        h = _h64_sql(f"s.walk_id::VARCHAR || '#{k}'")
+        u = f"(({h}) / {_H_SPACE})"
+        idx = (
+            "(len(list_filter(list_transform(range(1, (a.deg + 1)::INT), "
+            f"i -> i::DOUBLE / a.deg::DOUBLE), c -> c < {u})) + 1)::INT"
+        )
+        parts.append(
+            f"s{k} AS (SELECT s.walk_id, s.start, "
+            f"CASE WHEN s.done OR a.src IS NULL THEN s.cur ELSE a.dsts[{idx}] END AS cur, "
+            f"CASE WHEN s.done OR a.src IS NULL THEN s.plen ELSE s.plen + 1 END AS plen, "
+            f"(s.done OR a.src IS NULL) AS done "
+            f"FROM s{k - 1} s LEFT JOIN adj a ON s.cur = a.src),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("SELECT walk_id, start, plen AS path_len, cur AS last FROM s6")
+    return "\n".join(parts)
+
+
+def _biased_walks_sql() -> str:
+    """q44 oracle: the edge-type-biased teleporting walk (DREAMwalk traversal,
+    plans/walks.biased_random_walks) unrolled — per-step biased CDF from the
+    2×2 matrix, teleport via u_tp, identical float op order."""
+    mflat = "([0.7, 0.3, 0.2, 0.8]::DOUBLE[])"
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        "e AS (SELECT src, dst, (dst % 2)::INT AS et FROM edges_d"
+        " WHERE src < 30 AND dst < 30),",
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS dsts,"
+        " list(et ORDER BY dst) AS ets FROM e GROUP BY src),",
+        "starts AS (SELECT DISTINCT src AS id FROM e),",
+        "s0 AS (SELECT (id*2 + w.w)::BIGINT AS walk_id, id AS start, id AS cur,"
+        " -1 AS pet, 1::BIGINT AS plen, FALSE AS done"
+        " FROM starts CROSS JOIN (SELECT unnest(range(2)) AS w) w),",
+    ]
+    bw = (
+        "list_transform(t.ets, x -> CASE WHEN t.pet < 0 THEN 1.0::DOUBLE "
+        f"ELSE 1.0 * {mflat}[(t.pet * 2 + x + 1)::INT] END)"
+    )
+    total = f"list_reduce({bw}, (x, y) -> x + y)"
+    for k in range(1, 7):
+        h = _h64_sql(f"t.walk_id::VARCHAR || '#{k}'")
+        u = f"(({h}) / {_H_SPACE})"
+        h_tp = _h64_sql(f"t.walk_id::VARCHAR || '#{k}#tp'")
+        u_tp = f"(({h_tp}) / {_H_SPACE})"
+        is_tp = f"({u_tp} < 0.1::DOUBLE)"
+        tp_next = f"floor({u_tp} / 0.1::DOUBLE * 10)::BIGINT"
+        stuck = f"(t.asrc IS NULL OR {total} <= 0.0)"
+        idx = (
+            f"(len(list_filter(list_transform(range(1, (len(t.dsts) + 1)::INT), "
+            f"j -> list_reduce(list_slice({bw}, 1, j), (x, y) -> x + y) / {total}), "
+            f"c -> c < {u})) + 1)::INT"
+        )
+        parts.append(
+            f"s{k} AS (SELECT t.walk_id, t.start, "
+            f"CASE WHEN t.done THEN t.cur WHEN {is_tp} THEN {tp_next} "
+            f"WHEN {stuck} THEN t.cur ELSE t.dsts[{idx}] END AS cur, "
+            f"CASE WHEN t.done THEN t.pet WHEN {is_tp} THEN -1 "
+            f"WHEN {stuck} THEN t.pet ELSE t.ets[{idx}] END AS pet, "
+            f"CASE WHEN t.done OR (NOT {is_tp} AND {stuck}) THEN t.plen "
+            f"ELSE t.plen + 1 END AS plen, "
+            f"CASE WHEN t.done THEN TRUE WHEN {is_tp} THEN FALSE "
+            f"ELSE {stuck} END AS done "
+            f"FROM (SELECT s.*, a.src AS asrc, a.dsts, a.ets "
+            f"FROM s{k - 1} s LEFT JOIN adj a ON s.cur = a.src) t),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("SELECT walk_id, start, plen AS path_len FROM s6")
+    return "\n".join(parts)
+
+
+def _skipgram_sql() -> str:
+    """q43 oracle: expected (id, v0) from the independent sequential
+    pure-Python implementation in oracle_py (walks + per-walk SGNS + sorted
+    delta averaging), inlined as VALUES; DuckDB does the final rounding so
+    the round() semantics match the other oracles."""
+    import oracle_py
+
+    rows = ", ".join(
+        f"({i}, {v!r})" for i, v in oracle_py.q43_expected("/root/testdata/sf0.01")
+    )
+    return f"""
+SELECT id::BIGINT AS id, round(v0raw, 6) AS v0, 8::INTEGER AS dim
+FROM (VALUES {rows}) AS t(id, v0raw)
+"""
+
+
 def _neardup_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
@@ -1187,7 +1352,9 @@ def oracle_sql() -> dict[str, str]:
               FROM mica m JOIN ic ia ON ia.term = m.a JOIN ic ib ON ib.term = m.b
             ) WHERE sim >= 0.25
         """,
-        # q32_lsh_knn, q33_multimodal_features, q36_random_walks: no SQL
-        # oracle (LSH hyperplane constants / Arrow-UDF pipeline / CDF
-        # inversion loop) — rows-only check; exactness covered in tests/.
+        "q32_lsh_knn": _lsh_sql(),
+        "q33_multimodal_features": _multimodal_sql(),
+        "q36_random_walks": _walks_sql(),
+        "q43_skipgram_embeddings": _skipgram_sql(),
+        "q44_biased_walks": _biased_walks_sql(),
     }

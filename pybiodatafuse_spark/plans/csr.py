@@ -49,22 +49,27 @@ from pybiodatafuse_spark.storage import Storage
 # (spark.python.worker.reuse, default true), so a block loaded for pid k in
 # superstep 1 is a module-global cache hit in supersteps 2..n — the adjacency
 # crosses the JVM→Python boundary ZERO times after the build. Keyed by
-# (store_path, pid); cleared when the store directory is deleted.
+# (store_path, pid, file mtime_ns, file size): CONTENT-AWARE, so re-spilling
+# different edges into the same store path invalidates cached blocks in
+# long-lived reused workers (a stale cache here would silently corrupt
+# PageRank — tests/test_csr.py::test_sidecar_respill_same_store_invalidates).
 _WORKER_BLOCK_CACHE: dict = {}
 
 
 def _load_block(store: str, pid: int):
-    # evict blocks of OTHER stores (previous runs) so a long-lived worker
-    # holds at most one run's adjacency share
-    stale = [k for k in _WORKER_BLOCK_CACHE if k[0] != store]
-    for k in stale:
-        del _WORKER_BLOCK_CACHE[k]
-    key = (store, pid)
+    f = os.path.join(store, f"pid_{pid}.npz")
+    try:
+        st = os.stat(f)
+    except FileNotFoundError:
+        return None  # pid with no edges
+    key = (store, pid, st.st_mtime_ns, st.st_size)
     blk = _WORKER_BLOCK_CACHE.get(key)
     if blk is None:
-        f = os.path.join(store, f"pid_{pid}.npz")
-        if not os.path.exists(f):
-            return None  # pid with no edges
+        # evict blocks of OTHER stores (previous runs) and stale stamps of
+        # THIS (store, pid) so a long-lived worker holds one run's share
+        stale = [k for k in _WORKER_BLOCK_CACHE if k[0] != store or k[:2] == (store, pid)]
+        for k in stale:
+            del _WORKER_BLOCK_CACHE[k]
         with np.load(f) as z:
             blk = (z["srcs"], z["indptr"], z["dsts"], z["fracs"])
         _WORKER_BLOCK_CACHE[key] = blk
@@ -142,13 +147,21 @@ def spill_csr_blocks(
         srcs, counts = np.unique(src, return_counts=True)
         indptr = np.zeros(len(srcs) + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
+        # executor-side makedirs (driver-side alone is not enough on a
+        # multi-executor shared store) + write-temp-then-rename so a failed,
+        # retried, or speculative task can never leave a torn .npz that a
+        # later superstep's _load_block would read
+        os.makedirs(store, exist_ok=True)
+        final = os.path.join(store, f"pid_{pid}.npz")
+        tmp = os.path.join(store, f".tmp_{pid}_{os.getpid()}.npz")
         np.savez(
-            os.path.join(store, f"pid_{pid}.npz"),
+            tmp,
             srcs=srcs,
             indptr=indptr,
             dsts=pdf["dst"].to_numpy(dtype=np.int64),
             fracs=pdf["frac"].to_numpy(dtype=np.float64),
         )
+        os.replace(tmp, final)
         return pd.DataFrame({"pid": [pid], "n_edges": [len(pdf)]})
 
     rows = (

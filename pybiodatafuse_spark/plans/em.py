@@ -6,12 +6,18 @@ the mean L1 matrix delta < tol — all driver-side, process-parallel via parmap.
 
 Spark restatement keeping the iterative skeleton (sample → distributed
 aggregate → small driver-side M-step → L1 convergence):
-- E-step (distributed): on a deterministic hash-sample of edges, count
-  observed type-adjacent transitions (e1.dst = e2.src) weighted by the
-  current matrix — one join + one groupBy per iteration;
-- M-step (driver): row-normalize the K×K count matrix and blend with the
-  previous estimate (the matrix is tiny; keeping it on the driver is the
-  right distribution boundary, exactly like the reference);
+- E-step (distributed): **edges are hash-sampled FIRST** (rate
+  ``1/sample_mod``, deterministic per iteration), and only then joined into
+  length-2 typed transitions (e1.dst = e2.src) — the wedge relation is built
+  from the sampled edge set, never materialized in full. This mirrors the
+  reference (sample 1% of edges, then walk) and keeps the join size at
+  O(Σ deg_s²) over SAMPLED degrees — a power-law hub with degree d contributes
+  (d/mod)² wedges, not d²; the sample predicate references a single edge row,
+  so Catalyst pushes it below the join into both scan sides
+  (tests/test_plans_quality.py::test_em_sample_filter_below_wedge_join).
+- M-step (driver): row-normalize the K×K count matrix weighted by the current
+  estimate and blend with the previous one (the matrix is tiny; the driver is
+  the right distribution boundary, exactly like the reference);
 - convergence: sum |M_new − M_old| < tol (the reference's A10 accumulator).
 """
 
@@ -22,6 +28,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pybiodatafuse_spark.functions.text import hash64
+
+
+def sampled_wedges(edges: DataFrame, it: int, sample_mod: int) -> DataFrame:
+    """(t1, t2) typed length-2 transitions over the iteration-``it``
+    hash-sample of ``edges``. The sample predicate is applied to the edge
+    relation BEFORE the self-join, so the full wedge set is never built."""
+    sampled = edges.where(
+        F.pmod(
+            hash64(
+                F.concat_ws(
+                    "#",
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                    F.lit(str(it)),
+                )
+            ),
+            F.lit(sample_mod),
+        )
+        == 0
+    )
+    e1 = sampled.select(F.col("dst").alias("b"), F.col("etype").alias("t1"))
+    e2 = sampled.select(F.col("src").alias("b"), F.col("etype").alias("t2"))
+    return e1.join(e2, "b").select("t1", "t2")
 
 
 def train_transition_matrix(
@@ -37,25 +66,15 @@ def train_transition_matrix(
     """Returns (matrix KxK row-stochastic, per-iteration L1 deltas)."""
     K = num_etypes
     M = np.full((K, K), 1.0 / K)
-    e1 = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("etype").alias("t1")
-    )
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"), F.col("etype").alias("t2"))
-    adj = e1.join(e2, "b").select("t1", "t2", "a", "c").persist()
+    edges_c = edges.select("src", "dst", "etype").persist()
     deltas: list[float] = []
     for it in range(1, max_iter + 1):
-        sampled = adj.where(
-            F.pmod(
-                hash64(
-                    F.concat_ws("#", F.col("a").cast("string"), F.col("c").cast("string"), F.lit(str(it)))
-                ),
-                F.lit(sample_mod),
-            )
-            == 0
-        )
         counts = {
             (r["t1"], r["t2"]): r["n"]
-            for r in sampled.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in sampled_wedges(edges_c, it, sample_mod)
+            .groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
         C = np.zeros((K, K))
         for (i, j), n in counts.items():
@@ -70,5 +89,5 @@ def train_transition_matrix(
         M = new_M
         if delta < tol:
             break
-    adj.unpersist()
+    edges_c.unpersist()
     return M, deltas

@@ -3,23 +3,31 @@
 Reference: DREAMwalk shells out to a pthreaded C++ word2vec
 (`algorithms/DREAMwalk/HeterogeneousSG.py:86-93`,
 `HeterogeneousSG.cpp:502-511`) over a text corpus of walks. SURVEY's Spark
-mapping — "distribute walks, per-partition training" — is implemented here
-directly:
+mapping — "distribute walks, per-partition training" — is implemented as
+synchronous data-parallel SGD with **DataFrame-resident parameters**:
 
-- walks are hash-partitioned by walk_id and SORTED within partition, so
-  training is deterministic for a fixed partition count;
-- each epoch (a superstep): the current embedding matrix is broadcast, every
-  partition runs sequential SGNS over its walks on a local numpy copy
-  (window context, k hash-seeded negative samples per positive — the
-  negatives depend only on (walk_id, position, j), not on RNG state), and
-  emits per-vertex delta sums;
-- deltas are averaged per vertex (`groupBy(id)` — map-side combinable) and
-  applied driver-side to the small dense matrix, which is re-broadcast.
+- embedding state lives in a DataFrame ``(id, emb, ctx)`` — never collected
+  to the driver, never broadcast as a dense V×dim matrix. At 10^12 vertices
+  the state is just another hash-partitioned table;
+- each epoch: (1) a narrow pass over walks computes, per walk, the vertex
+  ids it will touch (path vertices + its hash-seeded negative samples —
+  a pure function of (walk_id, path), no RNG state); (2) those (walk_id, id)
+  pairs join the state table to ship ONLY the needed vectors to each walk
+  (the per-walk working set is O(walk_length · negatives), independent of V);
+  (3) a cogrouped Arrow kernel trains each walk independently from the
+  epoch-start vectors and emits per-(walk, vertex) deltas; (4) deltas are
+  averaged per vertex in DETERMINISTIC walk_id order (sorted left-fold — the
+  result is independent of partitioning, batching, and shuffle order) and
+  joined back into the state.
+- negatives are drawn from a bounded id table (the ``neg_table_size``
+  lowest-id vertices; = the full vocabulary whenever V fits, exactly
+  word2vec's bounded unigram table at scale) — the only broadcast, O(table),
+  independent of V.
 
-This is synchronous data-parallel SGD (parameter averaging). At 10^12-vertex
-scale the matrix itself shards (parameter server / sharded broadcast joins);
-the walk-side structure — partition-local training, one averaging shuffle of
-O(V·dim) per epoch — is unchanged.
+Per-walk independent training + sorted-fold averaging makes the result a
+pure function of (walks, hyperparameters): bitwise deterministic for ANY
+partitioning, and exactly reproducible by the pure-Python oracle
+(tests/test_embeddings.py, __spark_entry__ q43 oracle).
 
 Initialization is word2vec-style uniform in [-0.5/dim, 0.5/dim), seeded by
 splitmix64(vertex_id, dim_index) — partition-independent and reproducible.
@@ -62,8 +70,72 @@ def init_vectors(ids: np.ndarray, dim: int, seed: int = 42) -> np.ndarray:
     return out
 
 
-def _sigmoid(x: np.ndarray) -> np.ndarray:
+def _sigmoid(x: float) -> float:
     return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))
+
+
+def _walk_pairs(path: list[int], window: int):
+    """(pos, center, cpos, target, neg_key) skip-gram pairs of one walk —
+    the deterministic enumeration shared by the trainer, the negative-id
+    pre-pass, and the pure-Python oracle."""
+    for pos, center in enumerate(path):
+        lo = max(0, pos - window)
+        hi = min(len(path), pos + window + 1)
+        for cpos in range(lo, hi):
+            if cpos == pos:
+                continue
+            yield pos, center, cpos, path[cpos], pos * (hi - lo) + cpos
+
+
+def _neg_ids_for_walk(
+    wid: int, path: list[int], window: int, negatives: int, table: np.ndarray
+) -> set[int]:
+    out: set[int] = set()
+    T = len(table)
+    for _pos, _center, _cpos, _target, nk in _walk_pairs(path, window):
+        key = np.int64(wid) * np.int64(1_000_003) + np.int64(nk)
+        for j in range(negatives):
+            u = _u01(np.array([key]), j, 7)[0]
+            out.add(int(table[int(u * T)]))
+    return out
+
+
+def train_one_walk(
+    wid: int,
+    path: list[int],
+    vecs: dict[int, tuple[np.ndarray, np.ndarray]],
+    *,
+    window: int,
+    negatives: int,
+    lr: float,
+    table: np.ndarray,
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    """Sequential SGNS over ONE walk starting from the epoch-start vectors in
+    ``vecs`` (id → (emb, ctx)); returns per-id (d_emb, d_ctx). Pure function —
+    the q43 oracle calls this exact routine shape in plain numpy."""
+    W = {i: v[0].copy() for i, v in vecs.items()}
+    C = {i: v[1].copy() for i, v in vecs.items()}
+    T = len(table)
+    touched: set[int] = set()
+    for _pos, center, _cpos, target, nk in _walk_pairs(path, window):
+        g = (1.0 - _sigmoid(W[center] @ C[target])) * lr
+        C[target] += g * W[center]
+        W[center] += g * C[target]
+        touched.add(center)
+        touched.add(target)
+        key = np.int64(wid) * np.int64(1_000_003) + np.int64(nk)
+        for j in range(negatives):
+            u = _u01(np.array([key]), j, 7)[0]
+            neg = int(table[int(u * T)])
+            if neg == target:
+                continue
+            gn = -_sigmoid(W[center] @ C[neg]) * lr
+            C[neg] += gn * W[center]
+            W[center] += gn * C[neg]
+            touched.add(neg)
+    return {
+        i: (W[i] - vecs[i][0], C[i] - vecs[i][1]) for i in sorted(touched)
+    }
 
 
 def skipgram_embeddings(
@@ -77,115 +149,142 @@ def skipgram_embeddings(
     lr: float = 0.025,
     seed: int = 42,
     partitions: int | None = None,
+    neg_table_size: int = 1 << 17,
 ) -> DataFrame:
     """walks(walk_id, path array<long>) → (id: long, vector: array<double>).
 
-    Deterministic for fixed (partitions, hyperparameters): walks sort by
-    walk_id within hash partitions; negative sample j for the pair at
-    (walk_id, pos) is vocab[floor(u01(walk_id*P+pos, j) * V)].
+    Deterministic for fixed hyperparameters — independent of partitioning:
+    every walk trains from the epoch-start state and per-vertex deltas are
+    averaged in sorted walk_id order. ``partitions`` only sets parallelism.
     """
     part = partitions or spark.sparkContext.defaultParallelism
-    vocab_rows = (
-        walks.select(F.explode("path").alias("id")).distinct().orderBy("id").collect()
-    )
-    vocab = np.array([r["id"] for r in vocab_rows], dtype=np.int64)
-    v_index = {int(v): i for i, v in enumerate(vocab)}
-    V = len(vocab)
-    if V == 0:
-        raise ValueError("skipgram_embeddings: empty walk corpus")
-    emb = init_vectors(vocab, dim, seed)  # input vectors
-    ctx = np.zeros((V, dim), dtype=np.float64)  # output (context) vectors
-
     walks_p = (
-        walks.select("walk_id", "path")
-        .repartition(part, "walk_id")
-        .persist()
+        walks.select("walk_id", "path").repartition(part, "walk_id").persist()
     )
     walks_p.count()
 
-    for _epoch in range(epochs):
-        b_emb = spark.sparkContext.broadcast(emb)
-        b_ctx = spark.sparkContext.broadcast(ctx)
-        b_vocab = spark.sparkContext.broadcast(vocab)
-        b_index = spark.sparkContext.broadcast(v_index)
+    vocab_df = (
+        walks_p.select(F.explode("path").alias("id")).distinct()
+    )
+    # bounded negative-sample table: the lowest-id vertices (== full vocab
+    # whenever it fits). The ONLY broadcast — O(neg_table_size), not O(V).
+    table = np.array(
+        [r["id"] for r in vocab_df.orderBy("id").limit(neg_table_size).collect()],
+        dtype=np.int64,
+    )
+    if len(table) == 0:
+        raise ValueError("skipgram_embeddings: empty walk corpus")
+    b_table = spark.sparkContext.broadcast(table)
 
-        def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W = b_emb.value.copy()
-            C = b_ctx.value.copy()
-            voc = b_vocab.value
-            idx = b_index.value
-            nV = len(voc)
-            touched = np.zeros(nV, dtype=bool)
-            rows = []
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                pdf = pdf.sort_values("walk_id", kind="mergesort")
-                for wid, path in zip(pdf["walk_id"], pdf["path"]):
-                    p = [idx[int(x)] for x in path]
-                    for pos, center in enumerate(p):
-                        lo = max(0, pos - window)
-                        hi = min(len(p), pos + window + 1)
-                        for cpos in range(lo, hi):
-                            if cpos == pos:
-                                continue
-                            target = p[cpos]
-                            # positive update
-                            g = (1.0 - _sigmoid(W[center] @ C[target])) * lr
-                            C[target] += g * W[center]
-                            W[center] += g * C[target]
-                            touched[center] = touched[target] = True
-                            # hash-seeded negatives
-                            key = np.int64(wid) * np.int64(1_000_003) + np.int64(
-                                pos * (hi - lo) + cpos
-                            )
-                            for j in range(negatives):
-                                u = _u01(np.array([key]), j, 7)[0]
-                                neg = int(u * nV)
-                                if neg == target:
-                                    continue
-                                gn = -_sigmoid(W[center] @ C[neg]) * lr
-                                C[neg] += gn * W[center]
-                                W[center] += gn * C[neg]
-                                touched[neg] = True
-                for i in np.nonzero(touched)[0]:
-                    rows.append(
-                        {
-                            "id": int(voc[i]),
-                            "d_emb": (W[i] - b_emb.value[i]).tolist(),
-                            "d_ctx": (C[i] - b_ctx.value[i]).tolist(),
-                            "cnt": 1,
-                        }
-                    )
+    def init_state(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            emb = init_vectors(ids, dim, seed)
             yield pd.DataFrame(
-                rows, columns=["id", "d_emb", "d_ctx", "cnt"]
-            ) if rows else pd.DataFrame(
-                {"id": pd.Series(dtype="int64"), "d_emb": [], "d_ctx": [], "cnt": pd.Series(dtype="int64")}
+                {
+                    "id": ids,
+                    "emb": list(emb),
+                    "ctx": [np.zeros(dim) for _ in ids],
+                }
             )
 
-        deltas = (
-            walks_p.mapInPandas(
-                train,
-                schema="id long, d_emb array<double>, d_ctx array<double>, cnt int",
+    state = vocab_df.mapInPandas(
+        init_state, schema="id long, emb array<double>, ctx array<double>"
+    ).repartition(part, "id").localCheckpoint(eager=True)
+
+    def needed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl = b_table.value
+        for pdf in batches:
+            wids, vids = [], []
+            for wid, path in zip(pdf["walk_id"], pdf["path"]):
+                p = [int(x) for x in path]
+                ids = set(p) | _neg_ids_for_walk(
+                    int(wid), p, window, negatives, tbl
+                )
+                for v in ids:
+                    wids.append(int(wid))
+                    vids.append(v)
+            yield pd.DataFrame({"walk_id": wids, "id": vids})
+
+    # the (walk_id, vertex) working-set relation is epoch-invariant (ids
+    # depend only on walks + hashes, not on vector values): compute once.
+    need = walks_p.mapInPandas(needed, schema="walk_id long, id long").persist()
+    need.count()
+
+    def train(key, walks_pdf: pd.DataFrame, vecs_pdf: pd.DataFrame) -> pd.DataFrame:
+        tbl = b_table.value
+        out_w, out_id, out_de, out_dc = [], [], [], []
+        vecs = {
+            int(r.id): (
+                np.asarray(r.emb, dtype=np.float64),
+                np.asarray(r.ctx, dtype=np.float64),
             )
-            .groupBy("id")
-            .agg(
-                F.array(*[
-                    F.avg(F.element_at("d_emb", i + 1)) for i in range(dim)
-                ]).alias("d_emb"),
-                F.array(*[
-                    F.avg(F.element_at("d_ctx", i + 1)) for i in range(dim)
-                ]).alias("d_ctx"),
+            for r in vecs_pdf.itertuples(index=False)
+        }
+        for r in walks_pdf.itertuples(index=False):
+            wid = int(r.walk_id)
+            path = [int(x) for x in r.path]
+            deltas = train_one_walk(
+                wid, path, vecs,
+                window=window, negatives=negatives, lr=lr, table=tbl,
             )
-            .collect()
+            for i, (de, dc) in deltas.items():
+                out_w.append(wid)
+                out_id.append(i)
+                out_de.append(de)
+                out_dc.append(dc)
+        return pd.DataFrame(
+            {"walk_id": out_w, "id": out_id, "d_emb": out_de, "d_ctx": out_dc}
         )
-        for r in deltas:
-            i = v_index[r["id"]]
-            emb[i] += np.asarray(r["d_emb"])
-            ctx[i] += np.asarray(r["d_ctx"])
-        for b in (b_emb, b_ctx, b_vocab, b_index):
-            b.unpersist()
 
+    def avg_deltas(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # DETERMINISTIC aggregation: left-fold in sorted walk_id order, then
+        # divide — independent of shuffle arrival order and batching
+        pdf = pdf.sort_values("walk_id", kind="mergesort")
+        acc_e = np.zeros(dim)
+        acc_c = np.zeros(dim)
+        n = 0
+        for r in pdf.itertuples(index=False):
+            acc_e = acc_e + np.asarray(r.d_emb, dtype=np.float64)
+            acc_c = acc_c + np.asarray(r.d_ctx, dtype=np.float64)
+            n += 1
+        return pd.DataFrame(
+            {"id": [int(key[0])], "d_emb": [acc_e / n], "d_ctx": [acc_c / n]}
+        )
+
+    delta_schema = "walk_id long, id long, d_emb array<double>, d_ctx array<double>"
+    for _epoch in range(epochs):
+        vecs = need.join(state, "id").select("walk_id", "id", "emb", "ctx")
+        deltas = (
+            walks_p.groupBy("walk_id")
+            .cogroup(vecs.groupBy("walk_id"))
+            .applyInPandas(train, schema=delta_schema)
+        )
+        davg = deltas.groupBy("id").applyInPandas(
+            avg_deltas, schema="id long, d_emb array<double>, d_ctx array<double>"
+        )
+        state = (
+            state.join(davg, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("d_emb").isNull(), F.col("emb")
+                ).otherwise(
+                    F.zip_with("emb", "d_emb", lambda a, b: a + b)
+                ).alias("emb"),
+                F.when(
+                    F.col("d_ctx").isNull(), F.col("ctx")
+                ).otherwise(
+                    F.zip_with("ctx", "d_ctx", lambda a, b: a + b)
+                ).alias("ctx"),
+            )
+            .repartition(part, "id")
+            .localCheckpoint(eager=True)  # truncate lineage every epoch
+        )
+
+    need.unpersist()
     walks_p.unpersist()
-    out = [(int(v), emb[i].tolist()) for i, v in enumerate(vocab)]
-    return spark.createDataFrame(out, "id long, vector array<double>")
+    b_table.unpersist()
+    return state.select("id", F.col("emb").alias("vector"))

@@ -59,3 +59,30 @@ def test_block_structure(spark, graph):
             frac_sums[s] = frac_sums.get(s, 0.0) + sum(fracs[indptr[i]:indptr[i + 1]])
     assert all(abs(v - 1.0) < 1e-9 for v in frac_sums.values())
     blocks.unpersist()
+
+
+def test_sidecar_respill_same_store_invalidates(spark, tmp_path):
+    """Re-spilling DIFFERENT edges into the SAME store path must not serve
+    stale cached blocks from reused Python workers (content-aware cache key)."""
+    store = str(tmp_path / "csr_store")
+    e1 = spark.createDataFrame(
+        [(i, (i + 1) % 20, 1.0, 1) for i in range(20)],
+        "src long, dst long, weight double, etype int",
+    )
+    e2 = spark.createDataFrame(
+        [(i, (i + 7) % 20, 1.0, 1) for i in range(20)]
+        + [(0, 13, 4.0, 1), (5, 2, 2.0, 1)],
+        "src long, dst long, weight double, etype int",
+    )
+    # run 1 populates worker caches for this store path
+    pagerank_csr(spark, e1, tol=None, max_iter=3, num_blocks=4, block_store=store)
+    # run 2 re-spills different edges into the SAME path
+    got = pagerank_csr(spark, e2, tol=None, max_iter=5, num_blocks=4, block_store=store)
+    want = pagerank_csr(
+        spark, e2, tol=None, max_iter=5, num_blocks=4,
+        block_store=str(tmp_path / "fresh_store"),
+    )
+    g = {r["id"]: r["rank"] for r in got.state.select("id", "rank").collect()}
+    w = {r["id"]: r["rank"] for r in want.state.select("id", "rank").collect()}
+    assert g.keys() == w.keys()
+    assert max(abs(g[k] - w[k]) for k in g) < 1e-15

@@ -89,3 +89,32 @@ def test_combine_with_homologs_fills_gaps(spark):
     assert by_t["t2"]["src1"][0]["pid"] == "P1"
     assert by_t["t2"]["homolog_of"] == "t1"
     assert by_t["t1"]["src1"][0]["pid"] == "P1"
+
+
+def test_ic_similarity_root_cap_bounds_candidates(spark):
+    """Single-root deep hierarchy: candidate generation with max_ancestor_df
+    must stay far below N²/2, and every emitted pair must be value-exact vs
+    the uncapped semantics (the cap only drops pairs whose sole common
+    ancestors are high-df terms — never alters a retained pair's MICA)."""
+    from pybiodatafuse_spark.operators.ic_similarity import (
+        ancestors_with_self,
+        candidate_mica,
+        information_content,
+    )
+
+    # 2 top-level subtrees under one root; k -> floor((k-1)/3) tree, 200 nodes
+    h = spark.createDataFrame(
+        [(k, (k - 1) // 3) for k in range(1, 200)], "child long, parent long"
+    )
+    n = 200
+    anc = ancestors_with_self(h).persist()
+    ic = information_content(anc)
+    cap = 40
+    capped = candidate_mica(anc, ic, max_ancestor_df=cap)
+    n_capped = capped.count()
+    assert n_capped < n * n / 8  # far below the N²/2 root blowup
+    full = candidate_mica(anc, ic, None)
+    fm = {(r["a"], r["b"]): r["ic_mica"] for r in full.collect()}
+    for r in capped.collect():
+        assert abs(fm[(r["a"], r["b"])] - r["ic_mica"]) < 1e-12
+    anc.unpersist()

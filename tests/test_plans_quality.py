@@ -118,3 +118,24 @@ def test_whole_stage_codegen_in_agg(spark, pages_path):
     )
     df.collect()  # AQE: codegen ids appear in the FINAL plan only
     assert "[codegen id :" in _fmt(df)  # agg runs inside WholeStageCodegen spans
+
+
+def test_em_sample_filter_below_wedge_join(spark, tmp_path):
+    """G8 scale gate: the EM edge sample must be applied BELOW the wedge
+    self-join (pushed into both scan sides) so the O(Σ deg²) wedge set is
+    never materialized — the sampled predicate appears as a Filter in each
+    join child, not once above the join."""
+    from pybiodatafuse_spark.plans.em import sampled_wedges
+
+    p = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(i, (i + 1) % 40, 1.0, i % 2) for i in range(40)],
+        "src long, dst long, weight double, etype int",
+    ).write.mode("overwrite").parquet(p)
+    edges = spark.read.parquet(p)
+    w = sampled_wedges(edges, it=1, sample_mod=2)
+    plan = _plan(w)
+    join_i = plan.index("Join") if "Join" in plan else plan.index("join")
+    below = plan[join_i:]
+    # the md5-hash sample predicate must occur in BOTH children below the join
+    assert below.count("pmod(cast(conv(substring(md5") >= 2, plan
