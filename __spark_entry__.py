@@ -622,6 +622,31 @@ def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_triples(e).select("triple")
 
 
+def q45_rdf_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 full parity: typed node triples + escaped label literals + edge
+    triples + metadata/provenance triples (reference graph/rdf/rdf.py
+    generate_rdf + graph/rdf/metadata.py add_metadata), fixed created
+    timestamp for determinism."""
+    from pybiodatafuse_spark.sinks.rdf import generate_rdf
+
+    e = _derived_edges(spark, sf_dir).where((F.col("src") < 30) & (F.col("dst") < 30))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.concat(F.lit("node "), F.col("id").cast("string")).alias("label"),
+            F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("type"),
+        )
+    )
+    return generate_rdf(
+        spark, v, e, attrs={"label": "string"},
+        title="derived graph", author="bdf", datasources=["orders"],
+        created="2026-01-01T00:00:00Z",
+    ).select("triple")
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle generators for the unrolled iterative queries
 # ---------------------------------------------------------------------------
@@ -1147,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_link_prediction": q42_link_prediction,
         "q43_skipgram_embeddings": q43_skipgram_embeddings,
         "q44_biased_walks": q44_biased_walks,
+        "q45_rdf_full_graph": q45_rdf_full_graph,
     }
 
 
@@ -1351,6 +1377,32 @@ def oracle_sql() -> dict[str, str]:
                      round(1.0 / (1.0 + ia.ic + ib.ic - 2 * m.ic_mica), 6) AS sim
               FROM mica m JOIN ic ia ON ia.term = m.a JOIN ic ib ON ib.term = m.b
             ) WHERE sim >= 0.25
+        """,
+        "q45_rdf_full_graph": f"""
+            WITH edges_d AS ({_EDGES_SQL}),
+            e AS (SELECT src, dst FROM edges_d WHERE src < 30 AND dst < 30),
+            v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t)
+            SELECT triple FROM (
+              SELECT '<urn:bdf:node:' || id ||
+                     '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:bdf:type:' ||
+                     CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END || '> .' AS triple FROM v
+              UNION ALL
+              SELECT '<urn:bdf:node:' || id ||
+                     '> <http://www.w3.org/2000/01/rdf-schema#label> "node ' || id ||
+                     '"^^<http://www.w3.org/2001/XMLSchema#string> .' FROM v
+              UNION ALL
+              SELECT '<urn:bdf:node:' || src || '> <urn:bdf:pred:links_to> <urn:bdf:node:' ||
+                     dst || '> .' FROM e
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('<urn:bdf:graph> <http://purl.org/dc/terms/created> "2026-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .'),
+                ('<urn:bdf:graph> <http://purl.org/dc/terms/title> "derived graph"^^<http://www.w3.org/2001/XMLSchema#string> .'),
+                ('<urn:bdf:graph> <http://purl.org/dc/terms/creator> "bdf"^^<http://www.w3.org/2001/XMLSchema#string> .'),
+                ('<urn:bdf:source:orders> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://rdfs.org/ns/void#Dataset> .'),
+                ('<urn:bdf:source:orders> <http://www.w3.org/2000/01/rdf-schema#label> "orders"^^<http://www.w3.org/2001/XMLSchema#string> .'),
+                ('<urn:bdf:graph> <http://purl.org/dc/terms/source> <urn:bdf:source:orders> .')
+              ) m(triple)
+            )
         """,
         "q32_lsh_knn": _lsh_sql(),
         "q33_multimodal_features": _multimodal_sql(),

@@ -121,6 +121,72 @@ def ivf_centroids(
     )
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Spherical k-means(sample) centroid trainer — the production IVF index
+    builder (``ivf_centroids`` stays as the deterministic oracle mode).
+
+    Deterministic-seeded: the training sample is a hash-mod of ids (not RNG),
+    init = the ``n_centroids`` lowest-id sample vectors. Each iteration:
+    assign by cosine against broadcast centroids (map-side argmax — no
+    shuffle of the sample), then per-cell mean via posexplode + per-dimension
+    avg, L2-normalized. Empty cells keep their previous centroid. At 100 TB
+    only the SAMPLE (|corpus|/sample_mod rows) is touched per iteration;
+    centroids stay O(k·dim) and broadcast."""
+    src = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if sample_mod > 1:
+        src = src.where(F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0)
+    src = src.persist()
+    cents = (
+        src.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("centroid_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _nearest_cells(src, cents, "vec_id", "v", 1).select(
+            "centroid_id", F.posexplode("v").alias("pos", "val")
+        )
+        means = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mv")
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate("mv", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        new_cents = means.select(
+            "centroid_id",
+            F.transform("mv", lambda x: x / norm).alias("cv"),
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.withColumnRenamed("cv", "old_cv")
+            .join(new_cents, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("cv", "old_cv").alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    src.unpersist()
+    return cents
+
+
 def _nearest_cells(
     df: DataFrame, centroids: DataFrame, id_name: str, vec_name: str, n: int
 ) -> DataFrame:
@@ -164,14 +230,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query scores only corpus vectors whose IVF cell
     is among the query's `nprobe` nearest cells.
 
+    ``centroids`` (centroid_id, cv): pass ``ivf_kmeans_centroids`` output for
+    the trained index; default = deterministic lowest-id centroids (the
+    oracle-exact mode).
+
     Scale shape: index build = one broadcast projection + narrow shuffle;
     search = equi-join on centroid_id (candidates ≈ nprobe/n_centroids of the
     corpus) + per-query top-k window. No cross join over the full corpus."""
-    cents = ivf_centroids(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    )
     index = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     probes = _nearest_cells(
         queries.select(

@@ -1,26 +1,98 @@
-"""RDF / N-Triples sink (SURVEY.md K6).
+"""RDF / N-Triples sink (SURVEY.md K6) — full reference parity.
 
-Reference emits triples row-by-row through rdflib
-(``graph/rdf/rdf.py:157-215``); here triple lines are a pure column
-projection (JVM-side concat) written as text — distributed, no driver loop.
+Reference emits triples row-by-row through rdflib:
+- node + typed-literal triples per row (``graph/rdf/rdf.py:157-215``
+  ``generate_rdf`` → ``process_row``);
+- graph-level metadata/provenance (``graph/rdf/metadata.py:71-114``
+  ``add_metadata``: dcterms created/title/description/creator;
+  ``:278-292`` ``add_data_source_node``: void:Dataset + rdfs:label per
+  datasource);
+- SHACL prefix graph (``graph/rdf/rdf.py:1191-1210`` ``shacl_prefixes``).
+
+Spark restatement: every O(N) triple family is a pure column projection
+(JVM-side concat — distributed, no driver loop); only the O(1) graph-level
+metadata rows are driver-built. Literals are N-Triples-escaped with built-in
+regexp_replace (backslash first, then quote) — still whole-stage codegen.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BASE = "urn:bdf"
 
+# reference rdf.py:144-155 binds these namespaces; mirrored for the
+# shacl_prefixes export
+NAMESPACES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "dcat": "http://www.w3.org/ns/dcat#",
+    "dcterms": "http://purl.org/dc/terms/",
+    "pav": "http://purl.org/pav/",
+    "void": "http://rdfs.org/ns/void#",
+    "schema": "https://schema.org/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "bdf": f"{BASE}:",
+}
+
+_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_RDFS_LABEL = "<http://www.w3.org/2000/01/rdf-schema#label>"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _esc(c: Column) -> Column:
+    """N-Triples literal escaping: backslash first, then double-quote.
+    (Replacement strings are Java-regex replacements: a literal backslash in
+    the OUTPUT needs ``\\\\`` there, hence the doubling below.)"""
+    return F.regexp_replace(
+        F.regexp_replace(c.cast("string"), r"\\", "\\\\\\\\"), '"', '\\\\"'
+    )
+
+
+def _node(c: Column) -> Column:
+    return F.concat(F.lit(f"<{BASE}:node:"), c.cast("string"), F.lit(">"))
+
 
 def node_triples(vertices: DataFrame) -> DataFrame:
-    """<urn:bdf:node:ID> <urn:bdf:pred:type> "TYPE" ."""
+    """<urn:bdf:node:ID> <...rdf#type> <urn:bdf:type:TYPE> . — the typed
+    node statement the reference's process_row emits per entity row."""
     return vertices.select(
         F.concat(
-            F.lit(f"<{BASE}:node:"), F.col("id").cast("string"),
-            F.lit(f"> <{BASE}:pred:type> \""), F.col("type"), F.lit('" .'),
+            _node(F.col("id")),
+            F.lit(f" {_RDF_TYPE} <{BASE}:type:"),
+            F.col("type").cast("string"),
+            F.lit("> ."),
         ).alias("triple")
     )
+
+
+def node_attribute_triples(
+    vertices: DataFrame, attrs: dict[str, str]
+) -> DataFrame:
+    """One typed-literal triple per (node, attribute): ``attrs`` maps column
+    name → xsd type suffix (e.g. {"label": "string", "score": "double"}).
+    Nulls are skipped (reference process_row behavior)."""
+    outs = []
+    for col, xsd in attrs.items():
+        pred = f"<{BASE}:pred:{col}>" if col != "label" else _RDFS_LABEL
+        outs.append(
+            vertices.where(F.col(col).isNotNull()).select(
+                F.concat(
+                    _node(F.col("id")),
+                    F.lit(f' {pred} "'),
+                    _esc(F.col(col)),
+                    F.lit(f'"^^<{_XSD}{xsd}> .'),
+                ).alias("triple")
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def edge_triples(edges: DataFrame, predicate: str = "links_to") -> DataFrame:
@@ -34,7 +106,79 @@ def edge_triples(edges: DataFrame, predicate: str = "links_to") -> DataFrame:
     )
 
 
-def write_ntriples(vertices: DataFrame, edges: DataFrame, path: str) -> None:
-    node_triples(vertices).unionByName(edge_triples(edges)).write.mode(
+def metadata_triples(
+    spark: SparkSession,
+    *,
+    graph_uri: str = f"{BASE}:graph",
+    title: str | None = None,
+    description: str | None = None,
+    author: str | None = None,
+    datasources: list[str] | None = None,
+    created: str | None = None,
+) -> DataFrame:
+    """Graph-level provenance triples (reference metadata.add_metadata +
+    add_data_source_node): dcterms created/title/description/creator, one
+    void:Dataset + rdfs:label pair per datasource. O(1) rows — driver-built
+    by design (the reference collects exactly this scalar metadata)."""
+    dct = NAMESPACES["dcterms"]
+    void = NAMESPACES["void"]
+    g = f"<{graph_uri}>"
+    created = created or datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    rows = [f'{g} <{dct}created> "{created}"^^<{_XSD}dateTime> .']
+    if title:
+        rows.append(f'{g} <{dct}title> "{title}"^^<{_XSD}string> .')
+    if description:
+        rows.append(f'{g} <{dct}description> "{description}"^^<{_XSD}string> .')
+    if author:
+        rows.append(f'{g} <{dct}creator> "{author}"^^<{_XSD}string> .')
+    for ds in datasources or []:
+        s = f"<{BASE}:source:{ds}>"
+        rows.append(f"{s} {_RDF_TYPE} <{void}Dataset> .")
+        rows.append(f'{s} {_RDFS_LABEL} "{ds}"^^<{_XSD}string> .')
+        rows.append(f"{g} <{dct}source> {s} .")
+    return spark.createDataFrame([(r,) for r in rows], "triple string")
+
+
+def shacl_prefixes(namespaces: dict[str, str] | None = None) -> str:
+    """TTL prefix block (reference rdf.py:1191-1210 shacl_prefixes)."""
+    ns = dict(NAMESPACES)
+    if namespaces:
+        ns.update(namespaces)
+    return "\n".join(
+        f"@prefix {k}: <{v}> ." for k, v in sorted(ns.items())
+    ) + "\n"
+
+
+def generate_rdf(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    attrs: dict[str, str] | None = None,
+    predicate: str = "links_to",
+    **metadata,
+) -> DataFrame:
+    """Full graph → one `triple` column: typed nodes + attribute literals +
+    edges + provenance (the reference generate_rdf pipeline, distributed)."""
+    out = node_triples(vertices).unionByName(edge_triples(edges, predicate))
+    if attrs:
+        out = out.unionByName(node_attribute_triples(vertices, attrs))
+    return out.unionByName(metadata_triples(spark, **metadata))
+
+
+def write_ntriples(
+    vertices: DataFrame,
+    edges: DataFrame,
+    path: str,
+    *,
+    attrs: dict[str, str] | None = None,
+    prefixes_path: str | None = None,
+    **metadata,
+) -> None:
+    spark = vertices.sparkSession
+    generate_rdf(spark, vertices, edges, attrs=attrs, **metadata).write.mode(
         "overwrite"
     ).text(path)
+    if prefixes_path:
+        with open(prefixes_path, "w") as f:
+            f.write(shacl_prefixes())

@@ -80,8 +80,54 @@ def test_rdf_triples(spark):
     edges = spark.createDataFrame([(1, 2, 1.0, 1)], "src long, dst long, weight double, etype int")
     nt = node_triples(verts).collect()[0]["triple"]
     et = edge_triples(edges).collect()[0]["triple"]
-    assert nt == '<urn:bdf:node:1> <urn:bdf:pred:type> "page" .'
+    assert nt == (
+        "<urn:bdf:node:1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<urn:bdf:type:page> ."
+    )
     assert et == "<urn:bdf:node:1> <urn:bdf:pred:links_to> <urn:bdf:node:2> ."
+
+
+def test_rdf_full_parity(spark):
+    """K6 parity: node attribute literals (escaped), provenance/metadata
+    triples, SHACL prefixes (reference rdf.py generate_rdf + metadata.py +
+    shacl_prefixes)."""
+    from pybiodatafuse_spark.sinks.rdf import (
+        generate_rdf,
+        metadata_triples,
+        node_attribute_triples,
+        shacl_prefixes,
+    )
+
+    verts = spark.createDataFrame(
+        [(1, 'say "hi" \\ there', "page"), (2, None, "page")],
+        "id long, label string, type string",
+    )
+    at = sorted(
+        r["triple"] for r in node_attribute_triples(verts, {"label": "string"}).collect()
+    )
+    # null label skipped; quotes and backslashes escaped
+    assert at == [
+        "<urn:bdf:node:1> <http://www.w3.org/2000/01/rdf-schema#label> "
+        '"say \\"hi\\" \\\\ there"^^<http://www.w3.org/2001/XMLSchema#string> .'
+    ]
+    mt = [
+        r["triple"]
+        for r in metadata_triples(
+            spark, title="t", author="a", datasources=["src1"],
+            created="2026-01-01T00:00:00Z",
+        ).collect()
+    ]
+    assert '<urn:bdf:graph> <http://purl.org/dc/terms/created> "2026-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .' in mt
+    assert "<urn:bdf:source:src1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://rdfs.org/ns/void#Dataset> ." in mt
+    edges = spark.createDataFrame([(1, 2, 1.0, 1)], "src long, dst long, weight double, etype int")
+    full = generate_rdf(
+        spark, verts, edges, attrs={"label": "string"},
+        created="2026-01-01T00:00:00Z",
+    )
+    assert full.count() == 2 + 1 + 1 + 1  # nodes + edge + attr + created
+    pfx = shacl_prefixes()
+    assert "@prefix dcterms: <http://purl.org/dc/terms/> ." in pfx
+    assert "@prefix void: <http://rdfs.org/ns/void#> ." in pfx
 
 
 def test_dea_from_excel_gated(spark, tmp_path):
