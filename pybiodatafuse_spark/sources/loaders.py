@@ -43,24 +43,86 @@ def dea_from_csv(spark: SparkSession, path: str, id_col: str | None = None) -> D
     return df.withColumnRenamed(first, "identifier")
 
 
+def _read_xlsx_rows(path: str) -> list[list]:
+    """Minimal stdlib .xlsx reader (a .xlsx is a zip of XML): parses
+    sharedStrings + the first worksheet's inline/shared values. Covers the
+    flat header+data DEA sheets the reference reads — no openpyxl needed."""
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                )))
+        sheet = next(
+            n for n in sorted(z.namelist())
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet))
+    rows: list[list] = []
+    for row in root.iter("{http://schemas.openxmlformats.org/spreadsheetml/2006/main}row"):
+        vals: dict[int, object] = {}
+        for c in row.findall("m:c", ns):
+            ref = c.get("r", "")
+            col = 0
+            for ch in ref:
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+            v = c.find("m:v", ns)
+            if v is None or v.text is None:
+                continue
+            if c.get("t") == "s":  # shared string
+                vals[col - 1] = shared[int(v.text)]
+            elif c.get("t") == "str":
+                vals[col - 1] = v.text
+            else:
+                f = float(v.text)
+                vals[col - 1] = int(f) if f.is_integer() else f
+        if vals:
+            width = max(vals) + 1
+            rows.append([vals.get(i) for i in range(width)])
+    return rows
+
+
 def dea_from_excel(
-    spark: SparkSession, path: str, id_col: str | None = None, engine: str = "openpyxl"
+    spark: SparkSession, path: str, id_col: str | None = None, engine: str = "auto"
 ) -> DataFrame:
     """DEA table from .xlsx/.xls (SURVEY S2/S4: ``data_loader.py:52-87``
     reads excel via pandas). Excel is driver-side small input in the
-    reference too — read with pandas, then parallelize. Gated behind an
-    import-try: this container ships no excel engine, so without
-    openpyxl/xlrd this raises ImportError with a clear message rather than
-    failing deep inside pandas."""
+    reference too — read on the driver, then parallelize.
+
+    ``engine="auto"`` (default): use pandas+openpyxl/xlrd when available,
+    else fall back to the stdlib .xlsx parser (``_read_xlsx_rows``) — this
+    container ships no excel engine, and the fallback keeps S4 fully
+    functional for .xlsx. Legacy binary .xls still requires xlrd."""
     import pandas as pd
 
-    try:
+    if engine == "auto":
+        try:
+            import openpyxl  # noqa: F401
+
+            engine = "openpyxl"
+        except ImportError:
+            engine = "stdlib"
+    if engine == "stdlib":
+        if not path.lower().endswith(".xlsx"):
+            raise ImportError(
+                "legacy .xls requires the xlrd engine (unavailable here); "
+                "convert to .xlsx/.csv or install xlrd"
+            )
+        rows = _read_xlsx_rows(path)
+        if not rows:
+            raise ValueError(f"empty xlsx sheet: {path}")
+        header = [str(h) for h in rows[0]]
+        pdf = pd.DataFrame(rows[1:], columns=header)
+    else:
         pdf = pd.read_excel(path, engine=engine)
-    except ImportError as ex:  # no openpyxl/xlrd in this environment
-        raise ImportError(
-            "dea_from_excel requires an excel engine (openpyxl/xlrd); "
-            "install one or convert the sheet to csv and use dea_from_csv"
-        ) from ex
     first = id_col or pdf.columns[0]
     pdf = pdf.rename(columns={first: "identifier"})
     return spark.createDataFrame(pdf)

@@ -2,17 +2,34 @@
 
 The north rule persists per-superstep checkpoints + lineage/metrics to
 Iceberg. This sandbox has no Iceberg runtime jars, so the same interface is
-served by a local parquet layout (SURVEY.md §7 hard-part (e)); on a real
-cluster, construct with ``table_format="iceberg"`` and a configured catalog
-and every write becomes ``writeTo(...).append()`` on Iceberg tables.
+served by a local parquet layout that reproduces Iceberg's COMMIT MODEL
+(SURVEY.md §7 hard-part (e)); on a real cluster, construct with
+``table_format="iceberg"`` and a configured catalog and every write becomes
+``writeTo(...).append()`` on Iceberg tables.
+
+Iceberg semantics implemented here, not just the directory shape:
+- **snapshot-commit appends**: each ``append`` writes its files into a fresh
+  ``snap-<id>`` directory, then commits by atomically swapping the table's
+  ``metadata.json`` (``os.replace`` — the Iceberg optimistic pointer swap).
+  A crashed or half-finished write leaves an orphan data directory that NO
+  reader ever sees; readers only see fully committed snapshots.
+- **time travel**: ``read_table(..., snapshot_id=...)`` /
+  ``(..., as_of=<iso ts>)`` reads the table as of any committed snapshot;
+  ``snapshots(name)`` lists the log (id, ts, files) — Iceberg's
+  ``VERSION AS OF`` / ``TIMESTAMP AS OF``.
+- **atomic checkpoint publish**: superstep snapshots are written to a temp
+  directory and ``os.rename``d into ``step=<k>`` — resume can never observe
+  a torn snapshot even without relying on ``_SUCCESS`` ordering.
 
 Layout (parquet mode) under ``root``:
     checkpoints/<algorithm>/<run_id>/step=<k>/   — superstep state snapshots
-    tables/<name>/                               — append-only tables (run_metadata)
+    tables/<name>/metadata.json                  — snapshot log (commit pointer)
+    tables/<name>/snap-<id>/                     — immutable per-commit data files
 """
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from datetime import datetime, timezone
@@ -45,7 +62,15 @@ class Storage:
 
     def write_checkpoint(self, df: DataFrame, algorithm: str, run_id: str, step: int) -> str:
         path = self.checkpoint_path(algorithm, run_id, step)
-        df.write.mode("overwrite").parquet(path)
+        # atomic publish: write to a temp dir, rename into place — a reader
+        # (resume) can never observe a half-written snapshot directory
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):  # re-publish after a retried superstep
+            import shutil
+
+            shutil.rmtree(path)
+        os.rename(tmp, path)
         return path
 
     def read_checkpoint(self, spark: SparkSession, algorithm: str, run_id: str, step: int) -> DataFrame:
@@ -64,16 +89,69 @@ class Storage:
         ]
         return max(steps) if steps else None
 
-    # --- append-only tables -------------------------------------------------
+    # --- append-only tables: snapshot-commit + time travel ------------------
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, "tables", name)
 
-    def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.table_path(name))
+    def _metadata_file(self, name: str) -> str:
+        return os.path.join(self.table_path(name), "metadata.json")
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(name))
+    def snapshots(self, name: str) -> list[dict]:
+        """The committed snapshot log: [{"id", "ts", "dir"}...], oldest first."""
+        f = self._metadata_file(name)
+        if not os.path.exists(f):
+            return []
+        with open(f) as fh:
+            return json.load(fh)["snapshots"]
+
+    def append(self, df: DataFrame, name: str) -> int:
+        """Snapshot-commit append (Iceberg model): data lands in an immutable
+        ``snap-<id>`` dir; the commit is one atomic metadata-pointer swap.
+        Returns the new snapshot id."""
+        base = self.table_path(name)
+        os.makedirs(base, exist_ok=True)
+        snaps = self.snapshots(name)
+        snap_id = (snaps[-1]["id"] + 1) if snaps else 1
+        data_dir = os.path.join(base, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        snaps.append(
+            {
+                "id": snap_id,
+                "ts": datetime.now(timezone.utc).isoformat(),
+                "dir": os.path.basename(data_dir),
+            }
+        )
+        tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"format_version": 1, "snapshots": snaps}, fh)
+        os.replace(tmp, self._metadata_file(name))  # the atomic commit
+        return snap_id
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        *,
+        snapshot_id: int | None = None,
+        as_of: str | None = None,
+    ) -> DataFrame:
+        """Read the table at the latest snapshot, or time-travel with
+        ``snapshot_id`` (VERSION AS OF) / ``as_of`` ISO timestamp
+        (TIMESTAMP AS OF)."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"table has no committed snapshots: {name}")
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        if as_of is not None:
+            snaps = [s for s in snaps if s["ts"] <= as_of]
+        if not snaps:
+            raise FileNotFoundError(
+                f"no snapshot of {name} at snapshot_id={snapshot_id} as_of={as_of}"
+            )
+        base = self.table_path(name)
+        return spark.read.parquet(*[os.path.join(base, s["dir"]) for s in snaps])
 
     # --- run metadata (provenance; reference utils.py:43-78 analogue) --------
 

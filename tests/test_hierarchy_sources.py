@@ -130,21 +130,36 @@ def test_rdf_full_parity(spark):
     assert "@prefix void: <http://rdfs.org/ns/void#> ." in pfx
 
 
-def test_dea_from_excel_gated(spark, tmp_path):
-    """S4: excel loader exists; without an excel engine it raises a clear
-    ImportError (the container ships none), not a deep pandas failure."""
+def test_dea_from_excel_stdlib_fallback(spark, tmp_path):
+    """S4: the .xlsx loader works WITHOUT openpyxl via the stdlib zip+XML
+    fallback (reference data_loader.py:52-87 semantics: first column renamed
+    to identifier); legacy .xls still raises an actionable ImportError."""
+    import zipfile
+
     import pytest
 
     from pybiodatafuse_spark.sources.loaders import dea_from_excel
 
-    try:
-        import openpyxl  # noqa: F401
-        has_engine = True
-    except ImportError:
-        has_engine = False
-    if has_engine:
-        pytest.skip("excel engine present; gating path not exercisable")
-    p = tmp_path / "x.xlsx"
-    p.write_bytes(b"not a real workbook")  # engine import happens before parse
-    with pytest.raises(ImportError, match="excel engine"):
-        dea_from_excel(spark, str(p))
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    shared = (
+        f'<sst xmlns="{ns}" count="3" uniqueCount="3">'
+        "<si><t>gene</t></si><si><t>log2fc</t></si><si><t>g1</t></si></sst>"
+    )
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>-1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="str"><v>g2</v></c><c r="B3"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "dea.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = dea_from_excel(spark, str(p))
+    rows = {r["identifier"]: r["log2fc"] for r in df.collect()}
+    assert rows == {"g1": -1.5, "g2": 2}
+    with pytest.raises(ImportError, match="xls"):
+        legacy = tmp_path / "dea.xls"
+        legacy.write_bytes(b"legacy")
+        dea_from_excel(spark, str(legacy), engine="stdlib")

@@ -42,3 +42,29 @@ def test_interrupt_and_resume_matches_uninterrupted(spark, pages_df, tmp_path):
         .collect()
     }
     assert steps == set(range(1, 13))
+
+
+def test_table_snapshot_commit_and_time_travel(spark, tmp_path):
+    """Iceberg commit model on the parquet backing: snapshot-commit appends
+    (atomic metadata swap — readers never see uncommitted data dirs) +
+    VERSION AS OF / TIMESTAMP AS OF time travel."""
+    import os
+
+    from pybiodatafuse_spark.storage import Storage
+
+    st = Storage(str(tmp_path / "store"))
+    s1 = st.append(spark.createDataFrame([(1,)], "x long"), "t")
+    s2 = st.append(spark.createDataFrame([(2,)], "x long"), "t")
+    assert (s1, s2) == (1, 2)
+    assert {r["x"] for r in st.read_table(spark, "t").collect()} == {1, 2}
+    assert {r["x"] for r in st.read_table(spark, "t", snapshot_id=1).collect()} == {1}
+    snaps = st.snapshots("t")
+    assert len(snaps) == 2
+    assert {r["x"] for r in st.read_table(spark, "t", as_of=snaps[0]["ts"]).collect()} == {1}
+    # an uncommitted (orphan) data dir is invisible to readers
+    orphan = os.path.join(st.table_path("t"), "snap-99-deadbeef")
+    spark.createDataFrame([(99,)], "x long").write.parquet(orphan)
+    assert {r["x"] for r in st.read_table(spark, "t").collect()} == {1, 2}
+    # resume still finds the highest atomic checkpoint
+    st.write_checkpoint(spark.createDataFrame([(7,)], "x long"), "alg", "r1", 3)
+    assert st.last_checkpoint_step("alg", "r1") == 3
