@@ -41,7 +41,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="pybiodatafuse_spark job runner")
     p.add_argument("algorithm", choices=[
         "pagerank", "pagerank_csr", "components", "labelprop", "triangles",
-        "summary", "resume",
+        "summary", "resume", "rdf",
     ])
     p.add_argument("--pages", help="pages table path (runs extraction)")
     p.add_argument("--edges", help="prebuilt edge table path")
@@ -103,6 +103,19 @@ def main(argv=None):
         total, per_vertex = triangles(spark, edges)
         info["total_triangles"] = total
         result_df = per_vertex
+    elif args.algorithm == "rdf":
+        from pybiodatafuse_spark.sinks.rdf import write_ntriples
+
+        if verts is None:
+            p.error("rdf requires --pages (node types/urls come from vertices)")
+        if not args.out:
+            p.error("rdf requires --out")
+        write_ntriples(
+            verts, edges, args.out, attrs={"url": "string"},
+            title="link graph export", datasources=["pages"],
+            prefixes_path=os.path.join(args.out + "_prefixes.ttl"),
+        )
+        info["out"] = args.out
     elif args.algorithm == "summary":
         from pybiodatafuse_spark.operators.summarize import summary
 
