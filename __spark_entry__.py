@@ -622,6 +622,19 @@ def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_triples(e).select("triple")
 
 
+def q46_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite dedup pipeline stage: MinHash+LSH pair graph → connected
+    components → canonical doc per near-dup cluster (the operator a real
+    training-data pipeline runs end-to-end)."""
+    from pybiodatafuse_spark.operators.dedup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    c = near_dup_clusters(d, k=8, bands=4, n=3)
+    return c.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
 def q45_rdf_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 full parity: typed node triples + escaped label literals + edge
     triples + metadata/provenance triples (reference graph/rdf/rdf.py
@@ -934,6 +947,38 @@ SELECT src, dst, avg_prob, rn FROM r WHERE rn <= 5
 """
 
 
+def _neardup_clusters_sql() -> str:
+    """q46 oracle: MinHash+LSH pair graph (same banding as q25) → recursive
+    connected components → min-id cluster labels + canonical flag."""
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+sh AS (SELECT doc_id AS doc, unnest({_shingles_sql("tk")}) AS s FROM toks),
+hashes AS (
+  SELECT doc, j, {_h64_sql("s || '#' || j::VARCHAR")} AS hv
+  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) seeds
+),
+sig AS (SELECT doc, j, min(hv) AS mh FROM hashes GROUP BY 1, 2),
+bands AS (
+  SELECT doc, (j // 2) AS band, string_agg(mh::VARCHAR, '_' ORDER BY j) AS bucket
+  FROM sig GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc AS u, b.doc AS v
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+docs_all AS (SELECT DISTINCT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM docs_all
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id,
+       (id = min(comp))::INT AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 def _lsh_sql() -> str:
     """q32 oracle: the 16 deterministic ±1 hyperplanes (splitmix64, seed 42 —
     operators/similarity.hyperplanes) inlined as SQL literals; bucketing,
@@ -1173,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_skipgram_embeddings": q43_skipgram_embeddings,
         "q44_biased_walks": q44_biased_walks,
         "q45_rdf_full_graph": q45_rdf_full_graph,
+        "q46_near_dup_clusters": q46_near_dup_clusters,
     }
 
 
@@ -1378,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
               FROM mica m JOIN ic ia ON ia.term = m.a JOIN ic ib ON ib.term = m.b
             ) WHERE sim >= 0.25
         """,
+        "q46_near_dup_clusters": _neardup_clusters_sql(),
         "q45_rdf_full_graph": f"""
             WITH edges_d AS ({_EDGES_SQL}),
             e AS (SELECT src, dst FROM edges_d WHERE src < 30 AND dst < 30),

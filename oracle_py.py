@@ -1,6 +1,6 @@
 """Pure-Python (no Spark) oracle for the driver-gate queries whose semantics
 are iterative SGD (q43): an independent sequential reimplementation of
-walks → per-walk SGNS → sorted-walk_id delta averaging, following the
+walks → per-walk SGNS → sorted-walk_id delta accumulation, following the
 documented algorithm spec in plans/embeddings.py and plans/walks.py. The
 driver's DuckDB oracle inlines this module's output as literal VALUES, so the
 standard rows+schema+hash compare applies.
@@ -149,8 +149,8 @@ def sgns(
             for _, a, b in lst:
                 de = de + a
                 dc = dc + b
-            emb[v] = emb[v] + de / len(lst)
-            ctx[v] = ctx[v] + dc / len(lst)
+            emb[v] = emb[v] + de
+            ctx[v] = ctx[v] + dc
     return emb
 
 

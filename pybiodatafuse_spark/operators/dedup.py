@@ -207,3 +207,40 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the full dedup pipeline stage a training-
+    data pipeline actually runs: MinHash+LSH candidate pairs → connected
+    components over the pair graph → one canonical doc per cluster
+    (cluster_id = min doc id; ``is_canonical`` marks the keeper).
+
+    Returns (doc_id, cluster_id, is_canonical) for EVERY input doc (docs
+    with no near-dup form their own singleton cluster). Scale shape: LSH
+    banding is bucketed (no all-pairs), components is the small-star/
+    large-star superstep plan, the final join is on doc_id — every stage is
+    shuffle-bounded by candidate-pair count, not N².
+    """
+    from pybiodatafuse_spark.plans.components import components
+
+    spark = docs.sparkSession
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, k=k, bands=bands, n=n)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"), F.lit(1).cast("int").alias("etype"),
+    )
+    ids = docs.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    comp = components(spark, edges, ids)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -16,15 +16,16 @@ synchronous data-parallel SGD with **DataFrame-resident parameters**:
   (the per-walk working set is O(walk_length · negatives), independent of V);
   (3) a cogrouped Arrow kernel trains each walk independently from the
   epoch-start vectors and emits per-(walk, vertex) deltas; (4) deltas are
-  averaged per vertex in DETERMINISTIC walk_id order (sorted left-fold — the
-  result is independent of partitioning, batching, and shuffle order) and
+  SUMMED per vertex in DETERMINISTIC walk_id order (sorted left-fold —
+  gradient accumulation, so per-epoch step magnitude matches sequential
+  training; independent of partitioning, batching, and shuffle order) and
   joined back into the state.
 - negatives are drawn from a bounded id table (the ``neg_table_size``
   lowest-id vertices; = the full vocabulary whenever V fits, exactly
   word2vec's bounded unigram table at scale) — the only broadcast, O(table),
   independent of V.
 
-Per-walk independent training + sorted-fold averaging makes the result a
+Per-walk independent training + sorted-fold accumulation makes the result a
 pure function of (walks, hyperparameters): bitwise deterministic for ANY
 partitioning, and exactly reproducible by the pure-Python oracle
 (tests/test_embeddings.py, __spark_entry__ q43 oracle).
@@ -155,7 +156,7 @@ def skipgram_embeddings(
 
     Deterministic for fixed hyperparameters — independent of partitioning:
     every walk trains from the epoch-start state and per-vertex deltas are
-    averaged in sorted walk_id order. ``partitions`` only sets parallelism.
+    summed in sorted walk_id order. ``partitions`` only sets parallelism.
     """
     part = partitions or spark.sparkContext.defaultParallelism
     walks_p = (
@@ -239,19 +240,21 @@ def skipgram_embeddings(
             {"walk_id": out_w, "id": out_id, "d_emb": out_de, "d_ctx": out_dc}
         )
 
-    def avg_deltas(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # DETERMINISTIC aggregation: left-fold in sorted walk_id order, then
-        # divide — independent of shuffle arrival order and batching
+    def sum_deltas(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # DETERMINISTIC aggregation: left-fold SUM in sorted walk_id order —
+        # independent of shuffle arrival order and batching. Summing (not
+        # averaging) is gradient accumulation: the per-vertex step magnitude
+        # matches sequential training over the same pairs, so convergence per
+        # epoch is comparable to the classic per-partition scheme while the
+        # result stays a pure function of (walks, hyperparameters).
         pdf = pdf.sort_values("walk_id", kind="mergesort")
         acc_e = np.zeros(dim)
         acc_c = np.zeros(dim)
-        n = 0
         for r in pdf.itertuples(index=False):
             acc_e = acc_e + np.asarray(r.d_emb, dtype=np.float64)
             acc_c = acc_c + np.asarray(r.d_ctx, dtype=np.float64)
-            n += 1
         return pd.DataFrame(
-            {"id": [int(key[0])], "d_emb": [acc_e / n], "d_ctx": [acc_c / n]}
+            {"id": [int(key[0])], "d_emb": [acc_e], "d_ctx": [acc_c]}
         )
 
     delta_schema = "walk_id long, id long, d_emb array<double>, d_ctx array<double>"
@@ -263,7 +266,7 @@ def skipgram_embeddings(
             .applyInPandas(train, schema=delta_schema)
         )
         davg = deltas.groupBy("id").applyInPandas(
-            avg_deltas, schema="id long, d_emb array<double>, d_ctx array<double>"
+            sum_deltas, schema="id long, d_emb array<double>, d_ctx array<double>"
         )
         state = (
             state.join(davg, "id", "left")

@@ -90,3 +90,26 @@ def test_embedding_near_dups(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.9).collect()}
     assert got == {(0, 1)}  # blocked by label: (0,3) never compared
+
+
+def test_near_dup_clusters(spark):
+    """LSH pairs → components → canonical per cluster; singletons kept."""
+    from pybiodatafuse_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "the quick brown fox jumps over the lazy dog now and then"),
+            (4, "completely different text about spark shuffle partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in near_dup_clusters(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # 1 and 2 are identical -> same cluster, 1 canonical
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    # 4 shares no shingles -> its own singleton cluster
+    assert got[4] == (4, True)
