@@ -635,6 +635,69 @@ def q46_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 evaluation (reference predict_associations.return_scores):
+    distributed accuracy / ROC-AUC / average-precision / F1 over a
+    deterministic scored pair set (sigmoid(cos), label = known-pair rule)."""
+    from pybiodatafuse_spark.operators.linkpred import evaluate_predictions
+    from pybiodatafuse_spark.operators.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    srcs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("sv")
+    )
+    dsts = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("dv")
+    )
+    scored = srcs.crossJoin(dsts).select(
+        (1.0 / (1.0 + F.exp(-cosine_expr(F.col("sv"), F.col("dv"))))).alias("score"),
+        ((F.col("src") + F.col("dst")) % 7 == 0).cast("int").alias("label"),
+    )
+    m = evaluate_predictions(scored)
+    return spark.createDataFrame(
+        [tuple(round(m[k], 6) for k in ("accuracy", "roc_auc", "avg_precision", "f1"))],
+        "accuracy double, roc_auc double, avg_precision double, f1 double",
+    )
+
+
+def _metrics_sql() -> str:
+    """q47 oracle: the same metrics computed by DuckDB window functions —
+    average tied ranks for AUC, score-descending precision steps for AP."""
+    cos = _cos_sql("s.sv", "t.dv")
+    return f"""
+WITH s AS (SELECT vec_id AS src, embedding AS sv FROM embeddings WHERE vec_id < 10),
+t AS (SELECT vec_id AS dst, embedding AS dv FROM embeddings WHERE vec_id >= 100 AND vec_id < 150),
+sc AS (
+  SELECT 1.0/(1.0 + exp(-({cos}))) AS sco,
+         CASE WHEN (s.src + t.dst) % 7 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM s CROSS JOIN t
+),
+ranked AS (
+  SELECT sco, y,
+         rank() OVER (ORDER BY sco) + (count(*) OVER (PARTITION BY sco) - 1) / 2.0 AS r,
+         sum(y) OVER (ORDER BY sco DESC ROWS UNBOUNDED PRECEDING) AS tp_at_k,
+         count(*) OVER (ORDER BY sco DESC ROWS UNBOUNDED PRECEDING)::DOUBLE AS k
+  FROM sc
+),
+agg AS (
+  SELECT count(*)::DOUBLE AS n, sum(y) AS npos,
+         sum(CASE WHEN y = 1.0 THEN r END) AS pos_rank_sum,
+         sum(CASE WHEN y = 1.0 THEN tp_at_k / k END) AS ap_sum,
+         sum(CASE WHEN sco >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN sco >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN sco < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS fn
+  FROM ranked
+)
+SELECT round((tp + (n - npos - fp)) / n, 6) AS accuracy,
+       round((pos_rank_sum - npos*(npos+1)/2.0) / (npos * (n - npos)), 6) AS roc_auc,
+       round(ap_sum / npos, 6) AS avg_precision,
+       round(CASE WHEN tp = 0 THEN 0.0 ELSE
+         2.0 * (tp/(tp+fp)::DOUBLE) * (tp/(tp+fn)::DOUBLE)
+         / ((tp/(tp+fp)::DOUBLE) + (tp/(tp+fn)::DOUBLE)) END, 6) AS f1
+FROM agg
+"""
+
+
 def q45_rdf_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 full parity: typed node triples + escaped label literals + edge
     triples + metadata/provenance triples (reference graph/rdf/rdf.py
@@ -1219,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_biased_walks": q44_biased_walks,
         "q45_rdf_full_graph": q45_rdf_full_graph,
         "q46_near_dup_clusters": q46_near_dup_clusters,
+        "q47_prediction_metrics": q47_prediction_metrics,
     }
 
 
@@ -1425,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sim >= 0.25
         """,
         "q46_near_dup_clusters": _neardup_clusters_sql(),
+        "q47_prediction_metrics": _metrics_sql(),
         "q45_rdf_full_graph": f"""
             WITH edges_d AS ({_EDGES_SQL}),
             e AS (SELECT src, dst FROM edges_d WHERE src < 30 AND dst < 30),

@@ -78,3 +78,84 @@ def find_candidates(
     )
     w = Window.partitionBy("src").orderBy(F.desc("avg_prob"), F.asc("dst"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def evaluate_predictions(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    threshold: float = 0.5,
+) -> dict[str, float]:
+    """Classification metrics over (score, label∈{0,1}) — the reference's
+    ``predict_associations.return_scores`` (``:72-85``: accuracy, ROC-AUC,
+    average precision, F1), computed DISTRIBUTED:
+
+    - ROC-AUC by the rank statistic (Mann–Whitney U): one global rank window
+      over scores (average ranks for ties), one aggregate;
+    - average precision (AP) from the score-descending precision/recall
+      steps: window cumsums, one aggregate — no driver-side curve;
+    - accuracy/F1 at ``threshold`` from fused conditional counts.
+
+    Everything is two window passes + one agg — no collect of the score
+    column. Returns {"accuracy", "roc_auc", "avg_precision", "f1"}.
+    """
+    s = scored.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    # average rank per tied score group: rank() gives the first index of the
+    # tie group; avg rank = first + (n_ties - 1)/2
+    w_asc = Window.orderBy("s")
+    ties = Window.partitionBy("s")
+    ranked = s.select(
+        "s", "y",
+        (
+            F.rank().over(w_asc).cast("double")
+            + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+        ).alias("r"),
+    )
+    w_desc = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    curve = ranked.select(
+        "s", "y", "r",
+        F.sum("y").over(w_desc).alias("tp_at_k"),
+        F.count(F.lit(1)).over(w_desc).cast("double").alias("k"),
+    )
+    row = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("npos"),
+        F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("pos_rank_sum"),
+        # AP = mean over positives of precision@their rank (ties broken by
+        # the window's score-descending order, sklearn step definition)
+        F.sum(
+            F.when(F.col("y") == 1.0, F.col("tp_at_k") / F.col("k"))
+        ).alias("ap_sum"),
+        F.sum(
+            F.when((F.col("s") >= threshold) & (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("s") >= threshold) & (F.col("y") == 0.0), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("s") < threshold) & (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("fn"),
+    ).first()
+    n, npos = row["n"], float(row["npos"] or 0.0)
+    nneg = n - npos
+    tp, fp, fn = row["tp"], row["fp"], row["fn"]
+    auc = (
+        (float(row["pos_rank_sum"]) - npos * (npos + 1) / 2.0) / (npos * nneg)
+        if npos > 0 and nneg > 0
+        else float("nan")
+    )
+    ap = float(row["ap_sum"]) / npos if npos > 0 else float("nan")
+    prec = tp / (tp + fp) if (tp + fp) else 0.0
+    rec = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+    acc = (tp + (nneg - fp)) / n if n else float("nan")
+    return {
+        "accuracy": float(acc),
+        "roc_auc": float(auc),
+        "avg_precision": float(ap),
+        "f1": float(f1),
+    }

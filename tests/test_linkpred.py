@@ -66,3 +66,47 @@ def test_known_pairs_never_returned(spark, emb):
     res = find_candidates(df, sources, targets, known, k=10).collect()
     returned = {(r["src"], r["dst"]) for r in res}
     assert returned == {(0, 18), (0, 19)}  # only the two unknown targets
+
+
+def test_evaluate_predictions_matches_numpy(spark):
+    """G10 metrics (reference predict_associations.return_scores): ROC-AUC
+    (Mann-Whitney), average precision, accuracy, F1 vs a numpy oracle on
+    tie-free scores."""
+    import numpy as np
+
+    from pybiodatafuse_spark.operators.linkpred import evaluate_predictions
+
+    rng = np.random.default_rng(11)
+    n = 400
+    y = (rng.random(n) < 0.3).astype(int)
+    # informative but noisy scores, jittered to be tie-free
+    s = 0.55 * y + 0.4 * rng.random(n) + 1e-9 * np.arange(n)
+    df = spark.createDataFrame(
+        [(float(si), int(yi)) for si, yi in zip(s, y)], "score double, label int"
+    )
+    got = evaluate_predictions(df)
+
+    order = np.argsort(-s, kind="mergesort")
+    ys = y[order]
+    tp_cum = np.cumsum(ys)
+    k = np.arange(1, n + 1)
+    ap = float(np.sum((tp_cum / k) * ys) / ys.sum())
+    ranks = np.empty(n)
+    ranks[np.argsort(s, kind="mergesort")] = np.arange(1, n + 1)
+    npos, nneg = ys.sum(), n - ys.sum()
+    auc = float((ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg))
+    pred = (s >= 0.5).astype(int)
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    want = {
+        "accuracy": ((pred == y).sum()) / n,
+        "roc_auc": auc,
+        "avg_precision": ap,
+        "f1": 2 * prec * rec / (prec + rec),
+    }
+    for m, v in want.items():
+        assert abs(got[m] - v) < 1e-9, (m, got[m], v)
+    assert got["roc_auc"] > 0.8  # the scores are informative
