@@ -199,7 +199,12 @@ class Storage:
                     ts=now,
                 )
             )
-        self.append(spark.createDataFrame(rows, RUN_METADATA_SCHEMA), RUN_METADATA_TABLE)
+        # coalesce(1): a metrics append is O(partitions) rows — one file per
+        # snapshot-commit, not one per task
+        self.append(
+            spark.createDataFrame(rows, RUN_METADATA_SCHEMA).coalesce(1),
+            RUN_METADATA_TABLE,
+        )
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
         return self.read_table(spark, RUN_METADATA_TABLE).orderBy(
