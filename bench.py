@@ -108,12 +108,18 @@ def _pagerank_job(spark, n_pages: int):
     return n_edges, PROBE_STEPS, wall, build_sec, median_step, best_step
 
 
-def _scale_probe(cpus: int, n_pages: int) -> dict:
-    """Run the identical pagerank job in a fresh subprocess at local[cpus]."""
+def _scale_probe(cpus: int, n_pages: int, master: str | None = None) -> dict:
+    """Run the identical pagerank job in a fresh subprocess at local[cpus]
+    (or at an explicit master, e.g. local-cluster[4,2,6144] for real
+    separate-JVM executors)."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SCALING"] = "0"
     env["SPARK_GRAFT_BENCH_PAGES"] = str(n_pages)
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
+    else:
+        env.pop("SPARK_GRAFT_MASTER", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--probe"],
         capture_output=True, text=True, env=env, timeout=3000,
@@ -249,6 +255,35 @@ def main():
                          f"best-steady-superstep throughput per probe",
             "efficiency_n_to_4n": round(eff, 3),
         }
+
+        # REAL separate-JVM executors (north rule literally: "N and 4N
+        # executors"): local-cluster[N, cores, mem] spawns N executor
+        # processes with their own heaps. One adjacent pair, same hardened
+        # best-steady-superstep metric. Opt out with SPARK_GRAFT_SCALE_EXEC=0.
+        if os.environ.get("SPARK_GRAFT_SCALE_EXEC", "1") != "0":
+            n_lo = int(os.environ.get("SPARK_GRAFT_EXEC_LO", "1"))
+            n_hi = int(os.environ.get("SPARK_GRAFT_EXEC_HI", "4"))
+            cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+            mem = os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144")
+            e_lo = _scale_probe(
+                n_lo * cores, SCALE_PAGES, f"local-cluster[{n_lo},{cores},{mem}]"
+            )
+            e_hi = _scale_probe(
+                n_hi * cores, SCALE_PAGES, f"local-cluster[{n_hi},{cores},{mem}]"
+            )
+            e_eff = e_hi[key] / ((n_hi / n_lo) * e_lo[key])
+            result["scaling_executors"] = {
+                "executors_lo": n_lo,
+                "executors_hi": n_hi,
+                "cores_per_executor": cores,
+                "executor_mem_mb": int(mem),
+                "scale_edges": e_lo["n_edges"],
+                "edges_per_sec_lo": e_lo[key],
+                "edges_per_sec_hi": e_hi[key],
+                "median_steady_lo": e_lo["edges_per_sec_steady"],
+                "median_steady_hi": e_hi["edges_per_sec_steady"],
+                "efficiency_n_to_4n_executors": round(e_eff, 3),
+            }
 
     print(json.dumps(result))
 

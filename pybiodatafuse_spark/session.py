@@ -27,7 +27,10 @@ def get_spark(
     benchmark harness can run the identical job at two parallelism levels.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER overrides: e.g. "local-cluster[4,2,6144]" gives the
+    # bench a REAL multi-executor topology (separate executor JVMs) for the
+    # north rule's N-vs-4N-executors scaling evidence
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     parts = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
