@@ -118,6 +118,9 @@ def _scale_probe(cpus: int, n_pages: int, master: str | None = None) -> dict:
     env["SPARK_GRAFT_BENCH_PAGES"] = str(n_pages)
     if master:
         env["SPARK_GRAFT_MASTER"] = master
+        # executor-mode probes are the 2nd scaling block — keep them cheap
+        # (6 supersteps still leaves 4 steady samples for median/best)
+        env.setdefault("SPARK_GRAFT_PROBE_STEPS", "6")
     else:
         env.pop("SPARK_GRAFT_MASTER", None)
     out = subprocess.run(
@@ -224,6 +227,11 @@ def main():
         # this SHARED box during one probe can't masquerade as an engine
         # scaling failure; the ratio needs clean samples on BOTH sides.
         key = "edges_per_sec_best"
+        # wall-clock budget for the whole scaling phase: under heavy
+        # co-tenant load every probe stretches 2-3x, and the driver's bench
+        # run must terminate — retries and the executor block yield first
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2400"))
+        t_scale0 = time.monotonic()
         pairs = []
         for _ in range(n_pairs):
             # adjacent (lo, hi) so a contention window hits both sides of a
@@ -234,6 +242,8 @@ def main():
             p_hi = _scale_probe(hi, SCALE_PAGES)
             pairs.append((p_lo, p_hi, p_hi[key] / (ratio * p_lo[key])))
             if pairs[-1][2] >= target:
+                break
+            if time.monotonic() - t_scale0 > budget_s * 0.6:
                 break
         p_lo, p_hi, eff = max(pairs, key=lambda t: t[2])
         effs = sorted(e for _, _, e in pairs)
@@ -260,7 +270,10 @@ def main():
         # executors"): local-cluster[N, cores, mem] spawns N executor
         # processes with their own heaps. One adjacent pair, same hardened
         # best-steady-superstep metric. Opt out with SPARK_GRAFT_SCALE_EXEC=0.
-        if os.environ.get("SPARK_GRAFT_SCALE_EXEC", "1") != "0":
+        if (
+            os.environ.get("SPARK_GRAFT_SCALE_EXEC", "1") != "0"
+            and time.monotonic() - t_scale0 < budget_s
+        ):
             n_lo = int(os.environ.get("SPARK_GRAFT_EXEC_LO", "1"))
             n_hi = int(os.environ.get("SPARK_GRAFT_EXEC_HI", "4"))
             cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
