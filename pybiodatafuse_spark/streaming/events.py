@@ -78,3 +78,24 @@ def run_stream_to_parquet(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest stream: content-hash the
+    text and keep the first arrival per hash within the watermark horizon
+    (`dropDuplicates` keyed on the hash — Spark bounds the dedup state by
+    the event-time watermark, so state is O(docs per horizon), not O(all
+    docs ever)). The streaming face of operators/dedup.exact_duplicates —
+    at crawl scale this is the ingest-time filter that keeps recrawled
+    pages from re-entering the corpus."""
+    return (
+        docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_hash"])
+    )

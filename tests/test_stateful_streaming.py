@@ -58,3 +58,45 @@ def test_state_survives_batches_and_restart(spark, tmp_path):
     assert second["click"][0] == 8  # 5 + 3 (evens in 10..15)
     assert second["view"][0] == 8
     assert second["click"][1] == float(sum(i for i in range(16) if i % 2 == 0))
+
+
+def test_streaming_dedup_drops_recrawls(spark, tmp_path):
+    """Watermarked content-hash dedup: duplicate texts across micro-batches
+    are dropped while the hash is inside the watermark state."""
+    from pybiodatafuse_spark.streaming.events import streaming_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    write_docs([(1, "alpha text", t0), (2, "beta text", t0), (3, "alpha text", t0)])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_dedup(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    first = run_once()
+    assert len(first) == 2  # one of the two "alpha text" docs dropped
+    # a recrawl of the same content in a later micro-batch run (same
+    # checkpoint, state persisted) is also dropped; new content passes
+    write_docs([(4, "alpha text", t0 + dt.timedelta(minutes=30)),
+                (5, "gamma text", t0 + dt.timedelta(minutes=30))])
+    second = run_once()
+    assert len(second) == 3 and 5 in second and 4 not in second
