@@ -123,6 +123,10 @@ def _scale_probe(cpus: int, n_pages: int, master: str | None = None) -> dict:
         env.setdefault("SPARK_GRAFT_PROBE_STEPS", "6")
     else:
         env.pop("SPARK_GRAFT_MASTER", None)
+        # thread probes: 8 supersteps (6 steady samples) — cheap enough that
+        # retry pairs fit the scaling budget even when co-tenant load
+        # stretches every probe 2-3x
+        env.setdefault("SPARK_GRAFT_PROBE_STEPS", "8")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--probe"],
         capture_output=True, text=True, env=env, timeout=3000,
@@ -220,7 +224,7 @@ def main():
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
         ratio = hi / lo  # actual core ratio of the configured pair
-        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
         target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.82"))
         # per-probe throughput = best (min) steady superstep: the least-
         # contended sample on each side, so a transient co-tenant burst on
@@ -230,7 +234,7 @@ def main():
         # wall-clock budget for the whole scaling phase: under heavy
         # co-tenant load every probe stretches 2-3x, and the driver's bench
         # run must terminate — retries and the executor block yield first
-        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "2400"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "4200"))
         t_scale0 = time.monotonic()
         pairs = []
         for _ in range(n_pairs):
