@@ -599,8 +599,9 @@ def q43_skipgram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G7 full semantics: edge-type-biased walks with teleport (DREAMwalk
-    traversal). Rows-only (hash CDF loop); exact oracle in tests/test_walks."""
+    """G7 first-order semantics: edge-type-biased walks with static-list
+    teleport (p=q=1 DREAMwalk traversal; the full second-order p/q + weighted
+    sim-teleport path is gated separately as q48)."""
     from pybiodatafuse_spark.plans.walks import biased_random_walks
 
     e = _derived_edges(spark, sf_dir).where((F.col("src") < 30) & (F.col("dst") < 30))
@@ -614,6 +615,56 @@ def q44_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("walk_id", "start", F.size("path").cast("long").alias("path_len"))
 
 
+def q48_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 FULL DREAMwalk traversal: edge-type transition bias + node2vec
+    p/q second-order weighting (reference generate_embeddings.py:210-227)
+    + weighted similarity-graph teleport with stale edge type (:234-263).
+    Oracle: independent sequential reimplementation (oracle_py.q48_expected)
+    inlined as SQL VALUES — the q43 pattern."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    e = (
+        _derived_edges(spark, sf_dir)
+        .where((F.col("src") < 40) & (F.col("dst") < 40))
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) + (F.col("src") + F.col("dst")) % 3).alias("weight"),
+            (F.col("dst") % 2).cast("int").alias("etype"),
+        )
+    )
+    sim = e.where((F.col("src") + F.col("dst")) % 4 == 0).select(
+        "src", "dst", (F.lit(1.0) + F.col("dst") % 2).alias("weight")
+    )
+    starts = e.select(F.col("src").alias("id")).distinct()
+    M = [[0.6, 0.4], [0.3, 0.7]]
+    res = biased_random_walks(
+        spark, e, starts, M, num_walks=2, walk_length=6,
+        p=0.25, q=4.0, teleport=0.2, sim_edges=sim,
+    )
+    return res.select(
+        "walk_id",
+        "start",
+        F.size("path").cast("long").alias("path_len"),
+        F.element_at("path", -1).alias("last"),
+    )
+
+
+def _node2vec_walks_sql() -> str:
+    """q48 oracle: sequential-oracle rows inlined as VALUES (q43 pattern)."""
+    import oracle_py
+
+    rows = ", ".join(
+        f"({w}, {s}, {n}, {l})"
+        for w, s, n, l in oracle_py.q48_expected("/root/testdata/sf0.01")
+    )
+    return f"""
+SELECT wid::BIGINT AS walk_id, s::BIGINT AS start,
+       n::BIGINT AS path_len, l::BIGINT AS last
+FROM (VALUES {rows}) AS t(wid, s, n, l)
+"""
+
+
 def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: N-Triples projection of the derived graph."""
     from pybiodatafuse_spark.sinks.rdf import edge_triples
@@ -624,8 +675,9 @@ def q38_rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q46_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite dedup pipeline stage: MinHash+LSH pair graph → connected
-    components → canonical doc per near-dup cluster (the operator a real
-    training-data pipeline runs end-to-end)."""
+    components → QUALITY-argmax canonical doc per near-dup cluster (keep
+    the best doc, not the lowest id — the operator a real training-data
+    pipeline runs end-to-end)."""
     from pybiodatafuse_spark.operators.dedup import near_dup_clusters
 
     d = _t(spark, sf_dir, "documents")
@@ -661,8 +713,10 @@ def q47_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _metrics_sql() -> str:
-    """q47 oracle: the same metrics computed by DuckDB window functions —
-    average tied ranks for AUC, score-descending precision steps for AP."""
+    """q47 oracle: the same metrics in the per-distinct-score grouped form
+    the engine uses — Mann–Whitney U from (pos, tied-neg) prefix counts for
+    AUC, sklearn threshold-step AP (tie-correct and deterministic: no
+    per-row rank windows on either side)."""
     cos = _cos_sql("s.sv", "t.dv")
     return f"""
 WITH s AS (SELECT vec_id AS src, embedding AS sv FROM embeddings WHERE vec_id < 10),
@@ -672,24 +726,28 @@ sc AS (
          CASE WHEN (s.src + t.dst) % 7 = 0 THEN 1.0 ELSE 0.0 END AS y
   FROM s CROSS JOIN t
 ),
-ranked AS (
-  SELECT sco, y,
-         rank() OVER (ORDER BY sco) + (count(*) OVER (PARTITION BY sco) - 1) / 2.0 AS r,
-         sum(y) OVER (ORDER BY sco DESC ROWS UNBOUNDED PRECEDING) AS tp_at_k,
-         count(*) OVER (ORDER BY sco DESC ROWS UNBOUNDED PRECEDING)::DOUBLE AS k
-  FROM sc
+g AS (
+  SELECT sco, sum(y) AS pos_s, count(*)::DOUBLE AS cnt_s
+  FROM sc GROUP BY sco
 ),
+c AS (
+  SELECT sco, pos_s, cnt_s,
+         coalesce(sum(pos_s) OVER (ORDER BY sco ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below,
+         coalesce(sum(cnt_s) OVER (ORDER BY sco ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_below
+  FROM g
+),
+tot AS (SELECT sum(cnt_s) AS n, sum(pos_s) AS npos FROM g),
 agg AS (
-  SELECT count(*)::DOUBLE AS n, sum(y) AS npos,
-         sum(CASE WHEN y = 1.0 THEN r END) AS pos_rank_sum,
-         sum(CASE WHEN y = 1.0 THEN tp_at_k / k END) AS ap_sum,
-         sum(CASE WHEN sco >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
-         sum(CASE WHEN sco >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS fp,
-         sum(CASE WHEN sco < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS fn
-  FROM ranked
+  SELECT sum(pos_s * ((cnt_below - pos_below) + 0.5 * (cnt_s - pos_s))) AS u,
+         sum(pos_s * (tot.npos - pos_below) / (tot.n - cnt_below)) AS ap_sum,
+         sum(CASE WHEN sco >= 0.5 THEN pos_s ELSE 0 END) AS tp,
+         sum(CASE WHEN sco >= 0.5 THEN cnt_s - pos_s ELSE 0 END) AS fp,
+         sum(CASE WHEN sco < 0.5 THEN pos_s ELSE 0 END) AS fn,
+         max(tot.n) AS n, max(tot.npos) AS npos
+  FROM c CROSS JOIN tot
 )
 SELECT round((tp + (n - npos - fp)) / n, 6) AS accuracy,
-       round((pos_rank_sum - npos*(npos+1)/2.0) / (npos * (n - npos)), 6) AS roc_auc,
+       round(u / (npos * (n - npos)), 6) AS roc_auc,
        round(ap_sum / npos, 6) AS avg_precision,
        round(CASE WHEN tp = 0 THEN 0.0 ELSE
          2.0 * (tp/(tp+fp)::DOUBLE) * (tp/(tp+fn)::DOUBLE)
@@ -721,6 +779,82 @@ def q45_rdf_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         title="derived graph", author="bdf", datasources=["orders"],
         created="2026-01-01T00:00:00Z",
     ).select("triple")
+
+
+def q49_shacl_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 tail — frequency-mined SHACL node shapes (the reference's shexer
+    all-classes shape mining, graph/rdf/rdf.py:1164-1189): per node type a
+    sh:NodeShape with sh:targetClass, a datatype property constraint per
+    vertex attribute, and a nodeKind IRI constraint for the edge predicate,
+    with sh:minCount 1 exactly when the property covers every instance.
+    ONE groupBy over the vertex table + a semi-join degree probe — O(#types)
+    output; same deterministic graph as q45."""
+    from pybiodatafuse_spark.sinks.rdf import shacl_shapes
+
+    e = _derived_edges(spark, sf_dir).where((F.col("src") < 30) & (F.col("dst") < 30))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.concat(F.lit("node "), F.col("id").cast("string")).alias("label"),
+            F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("type"),
+        )
+    )
+    return shacl_shapes(v, e, attrs={"label": "string"}).select("triple")
+
+
+def _shacl_sql() -> str:
+    """q49 oracle: the same frequency mining in plain SQL — per-type counts,
+    property acceptance at threshold 0.001, minCount when coverage is total."""
+    sh = "http://www.w3.org/ns/shacl#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    return f"""
+WITH edges_d AS (SELECT * FROM ({_EDGES_SQL}) WHERE src < 30 AND dst < 30),
+verts AS (
+  SELECT id, 'node ' || id AS label,
+         CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS typ
+  FROM ({_VERTS_SQL})
+),
+agg AS (
+  SELECT typ, count(*)::DOUBLE AS n, count(label)::DOUBLE AS c_label,
+         sum(CASE WHEN EXISTS (SELECT 1 FROM edges_d e WHERE e.src = v.id)
+             THEN 1 ELSE 0 END)::DOUBLE AS c_out
+  FROM verts v GROUP BY typ
+)
+SELECT triple FROM (
+  SELECT '<urn:bdf:shape:' || typ || '> <{rdf_type}> <{sh}NodeShape> .' AS triple FROM agg
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || '> <{sh}targetClass> <urn:bdf:type:' || typ || '> .' FROM agg
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || '> <{sh}property> <urn:bdf:shape:' || typ || ':prop:label> .'
+  FROM agg WHERE c_label / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:label> <{sh}path> <{rdfs_label}> .'
+  FROM agg WHERE c_label / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:label> <{sh}datatype> <{xsd_s}> .'
+  FROM agg WHERE c_label / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:label> <{sh}minCount> 1 .'
+  FROM agg WHERE c_label / n >= 0.001 AND c_label = n
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || '> <{sh}property> <urn:bdf:shape:' || typ || ':prop:links_to> .'
+  FROM agg WHERE c_out / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:links_to> <{sh}path> <urn:bdf:pred:links_to> .'
+  FROM agg WHERE c_out / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:links_to> <{sh}nodeKind> <{sh}IRI> .'
+  FROM agg WHERE c_out / n >= 0.001
+  UNION ALL
+  SELECT '<urn:bdf:shape:' || typ || ':prop:links_to> <{sh}minCount> 1 .'
+  FROM agg WHERE c_out / n >= 0.001 AND c_out = n
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1012,7 +1146,9 @@ SELECT src, dst, avg_prob, rn FROM r WHERE rn <= 5
 
 def _neardup_clusters_sql() -> str:
     """q46 oracle: MinHash+LSH pair graph (same banding as q25) → recursive
-    connected components → min-id cluster labels + canonical flag."""
+    connected components → min-id cluster labels + QUALITY-argmax canonical
+    (highest quality_score in the cluster, tie-break lowest doc id)."""
+    en = _stoplist_sql("en")
     return f"""
 WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
 sh AS (SELECT doc_id AS doc, unnest({_shingles_sql("tk")}) AS s FROM toks),
@@ -1035,10 +1171,32 @@ reach(id, comp) AS (
   SELECT id, id FROM docs_all
   UNION
   SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+),
+clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+qm AS (
+  SELECT doc_id,
+         len(tk) AS n,
+         CASE WHEN len(tk) > 0 THEN
+           list_reduce(list_transform(tk, t -> len(t)::BIGINT), (a,b) -> a+b) / len(tk)
+         ELSE 0 END AS avg_len,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, t -> list_contains({en}, t))) / len(tk)
+         ELSE 0.0 END AS stop_ratio
+  FROM toks
+),
+qual AS (
+  SELECT doc_id,
+         round((least(n / 100.0, 1.0) + least(avg_len / 6.0, 1.0) +
+                least(stop_ratio * 4.0, 1.0)) / 3.0, 6) AS q
+  FROM qm
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY qual.q DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN qual ON c.doc_id = qual.doc_id
 )
-SELECT id AS doc_id, min(comp) AS cluster_id,
-       (id = min(comp))::INT AS is_canonical
-FROM reach GROUP BY id
+SELECT doc_id, cluster_id, (rn = 1)::INT AS is_canonical FROM ranked
 """
 
 
@@ -1280,9 +1438,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_link_prediction": q42_link_prediction,
         "q43_skipgram_embeddings": q43_skipgram_embeddings,
         "q44_biased_walks": q44_biased_walks,
+        "q48_node2vec_walks": q48_node2vec_walks,
         "q45_rdf_full_graph": q45_rdf_full_graph,
         "q46_near_dup_clusters": q46_near_dup_clusters,
         "q47_prediction_metrics": q47_prediction_metrics,
+        "q49_shacl_shapes": q49_shacl_shapes,
     }
 
 
@@ -1521,4 +1681,6 @@ def oracle_sql() -> dict[str, str]:
         "q36_random_walks": _walks_sql(),
         "q43_skipgram_embeddings": _skipgram_sql(),
         "q44_biased_walks": _biased_walks_sql(),
+        "q48_node2vec_walks": _node2vec_walks_sql(),
+        "q49_shacl_shapes": _shacl_sql(),
     }

@@ -72,6 +72,26 @@ def ensure_graph_cache(spark, n_pages: int) -> tuple[str, str, float]:
     return e_path, v_path, build_sec
 
 
+def calibrate() -> float:
+    """Fixed-cost single-thread probe (~0.2 s unloaded): a deterministic
+    numpy hash/FMA loop whose wall time tracks the box's *effective* memory
+    bandwidth + CPU availability. Recorded before/after each headline
+    segment so a cross-round regression can be attributed: if a query's
+    sec/calib ratio is stable while its wall regresses, the box (co-tenant
+    load) moved, not the engine — the r2 +17% headline swing was exactly
+    this, but unproven because nothing was recorded."""
+    import numpy as np
+
+    t0 = time.monotonic()
+    x = np.arange(4_000_000, dtype=np.float64)
+    acc = 0.0
+    for _ in range(6):
+        x = x * 1.0000001 + 1.0
+        acc += float(x[::1024].sum())
+    _ = acc
+    return time.monotonic() - t0
+
+
 PROBE_STEPS = int(os.environ.get("SPARK_GRAFT_PROBE_STEPS", "10"))
 # Scaling probes run on a LARGER snapshot than the headline job: with only
 # ~7M edges a superstep at 16+ cores bottoms out on fixed per-superstep cost
@@ -163,6 +183,7 @@ def main():
 
     spark = get_spark("bench")
     queries = {}
+    calib = {"start": round(calibrate(), 3)}
     t_total0 = time.monotonic()
 
     # headline 1: full synthetic link-graph pipeline + PageRank supersteps
@@ -192,6 +213,8 @@ def main():
     pagerank_stats["csr_superstep_sec"] = round(csr_wall / 10, 3)
     edges_c.unpersist()
 
+    calib["after_pagerank"] = round(calibrate(), 3)
+
     # headline 2: representative driver-gate queries at sf
     qs = entrymod.queries()
     for name in ["q01_pricing_summary", "q17_triangles", "q19_pagerank5",
@@ -200,6 +223,7 @@ def main():
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.monotonic() - t0, 3)
+    calib["end"] = round(calibrate(), 3)
 
     total = round(time.monotonic() - t_total0, 3)
     result = {
@@ -209,6 +233,10 @@ def main():
         "queries": queries,
         "sf": sf,
         "pagerank": pagerank_stats,
+        # single-thread fixed-cost probe (sec): compare across rounds — if
+        # calib moved with the headline, the swing is co-tenant load, not the
+        # engine (see calibrate() docstring); quiet-box reference ≈ 0.2 s
+        "calibration": calib,
     }
     spark.stop()
 
@@ -224,8 +252,7 @@ def main():
         lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
         hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
         ratio = hi / lo  # actual core ratio of the configured pair
-        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
-        target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.82"))
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
         # per-probe throughput = best (min) steady superstep: the least-
         # contended sample on each side, so a transient co-tenant burst on
         # this SHARED box during one probe can't masquerade as an engine
@@ -233,34 +260,40 @@ def main():
         key = "edges_per_sec_best"
         # wall-clock budget for the whole scaling phase: under heavy
         # co-tenant load every probe stretches 2-3x, and the driver's bench
-        # run must terminate — retries and the executor block yield first
+        # run must terminate — completed-pair medians are reported for
+        # however many pairs fit
         budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "4200"))
         t_scale0 = time.monotonic()
-        pairs = []
-        for _ in range(n_pairs):
-            # adjacent (lo, hi) so a contention window hits both sides of a
-            # pair; up to n_pairs pairs, stopping early once one pair clears
-            # the target with margin (noise only ever biases efficiency DOWN
-            # — a clean pair is the truthful estimate, so best-of is sound)
-            p_lo = _scale_probe(lo, SCALE_PAGES)
-            p_hi = _scale_probe(hi, SCALE_PAGES)
-            pairs.append((p_lo, p_hi, p_hi[key] / (ratio * p_lo[key])))
-            # headline = best ADJACENT pair: a pair is a same-conditions
-            # measurement, and contention within a pair depresses the hi
-            # side (which uses more of the box) more than the lo side, so
-            # pair efficiency is biased DOWN under load and max-over-pairs
-            # is the least-biased paired sample (clamped at 1.0 for the
-            # rare lo-contended/hi-clean inversion). The cross-pair
-            # max-lo/max-hi ratio is reported alongside for transparency —
-            # it mixes conditions (the 1-core side warms up across a long
-            # session, inflating the denominator) and is NOT the gate.
-            if max(e for _, _, e in pairs) >= target:
-                break
-            if time.monotonic() - t_scale0 > budget_s * 0.6:
-                break
-        p_lo, p_hi, eff = max(pairs, key=lambda t: t[2])
-        cross = max(p[key] for p, _, _ in pairs), max(p[key] for _, p, _ in pairs)
+
+        def run_pairs(n, probe_lo, probe_hi, r, frac_budget):
+            """HONEST estimator (r2 verdict: best-of-N with early exit is a
+            favorable stopping rule): run ALL n adjacent (lo, hi) pairs to
+            completion — no early exit on a good pair — and take the MEDIAN
+            pair efficiency as the headline. A pair is a same-conditions
+            measurement (a contention window hits both sides); only the
+            budget can truncate the count, and the reported pair list shows
+            exactly what was run."""
+            out = []
+            for _ in range(n):
+                p_lo = probe_lo()
+                p_hi = probe_hi()
+                out.append((p_lo, p_hi, p_hi[key] / (r * p_lo[key])))
+                if time.monotonic() - t_scale0 > budget_s * frac_budget:
+                    break
+            return out
+
+        pairs = run_pairs(
+            n_pairs,
+            lambda: _scale_probe(lo, SCALE_PAGES),
+            lambda: _scale_probe(hi, SCALE_PAGES),
+            ratio,
+            0.5,
+        )
         effs = sorted(e for _, _, e in pairs)
+        med = effs[len(effs) // 2] if len(effs) % 2 else (
+            effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+        ) / 2
+        p_lo, p_hi, best = max(pairs, key=lambda t: t[2])
         result["scaling"] = {
             "cores_lo": lo,
             "cores_hi": hi,
@@ -271,21 +304,18 @@ def main():
             "edges_per_sec_hi": p_hi[key],
             "median_steady_lo": p_lo["edges_per_sec_steady"],
             "median_steady_hi": p_hi["edges_per_sec_steady"],
-            "wall_based_lo": p_lo["edges_per_sec"],
-            "wall_based_hi": p_hi["edges_per_sec"],
             "all_pairs_efficiency": [round(e, 3) for _, _, e in pairs],
-            "median_pairs_efficiency": round(effs[len(effs) // 2], 3),
-            "cross_pair_efficiency": round(cross[1] / (ratio * cross[0]), 3),
-            "selection": f"best of {len(pairs)} adjacent lo/hi pairs "
-                         f"(same-conditions paired samples), "
-                         f"best-steady-superstep per probe, clamped at 1.0",
-            "efficiency_n_to_4n": round(min(eff, 1.0), 3),
+            "best_pair_efficiency": round(min(best, 1.0), 3),
+            "selection": f"MEDIAN of {len(pairs)} completed adjacent lo/hi "
+                         f"pairs (no early exit), best-steady-superstep per "
+                         f"probe, clamped at 1.0",
+            "efficiency_n_to_4n": round(min(med, 1.0), 3),
         }
 
         # REAL separate-JVM executors (north rule literally: "N and 4N
         # executors"): local-cluster[N, cores, mem] spawns N executor
-        # processes with their own heaps. One adjacent pair, same hardened
-        # best-steady-superstep metric. Opt out with SPARK_GRAFT_SCALE_EXEC=0.
+        # processes with their own heaps. Same median-of-completed-pairs
+        # estimator. Opt out with SPARK_GRAFT_SCALE_EXEC=0.
         if (
             os.environ.get("SPARK_GRAFT_SCALE_EXEC", "1") != "0"
             and time.monotonic() - t_scale0 < budget_s
@@ -294,24 +324,26 @@ def main():
             n_hi = int(os.environ.get("SPARK_GRAFT_EXEC_HI", "4"))
             cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
             mem = os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144")
-            e_pairs = int(os.environ.get("SPARK_GRAFT_EXEC_PAIRS", "2"))
+            e_pairs = int(os.environ.get("SPARK_GRAFT_EXEC_PAIRS", "3"))
             e_ratio = n_hi / n_lo
-            e_runs = []
-            for _ in range(e_pairs):
-                e_runs.append((
-                    _scale_probe(
-                        n_lo * cores, SCALE_PAGES,
-                        f"local-cluster[{n_lo},{cores},{mem}]",
-                    ),
-                    _scale_probe(
-                        n_hi * cores, SCALE_PAGES,
-                        f"local-cluster[{n_hi},{cores},{mem}]",
-                    ),
-                ))
-                e_effs = [h[key] / (e_ratio * l[key]) for l, h in e_runs]
-                if max(e_effs) >= target or time.monotonic() - t_scale0 > budget_s:
-                    break
-            e_lo, e_hi = e_runs[e_effs.index(max(e_effs))]
+            e_runs = run_pairs(
+                e_pairs,
+                lambda: _scale_probe(
+                    n_lo * cores, SCALE_PAGES,
+                    f"local-cluster[{n_lo},{cores},{mem}]",
+                ),
+                lambda: _scale_probe(
+                    n_hi * cores, SCALE_PAGES,
+                    f"local-cluster[{n_hi},{cores},{mem}]",
+                ),
+                e_ratio,
+                1.0,
+            )
+            e_effs = sorted(e for _, _, e in e_runs)
+            e_med = e_effs[len(e_effs) // 2] if len(e_effs) % 2 else (
+                e_effs[len(e_effs) // 2 - 1] + e_effs[len(e_effs) // 2]
+            ) / 2
+            e_lo, e_hi, e_best = max(e_runs, key=lambda t: t[2])
             result["scaling_executors"] = {
                 "executors_lo": n_lo,
                 "executors_hi": n_hi,
@@ -320,10 +352,11 @@ def main():
                 "scale_edges": e_runs[0][0]["n_edges"],
                 "edges_per_sec_lo": e_lo[key],
                 "edges_per_sec_hi": e_hi[key],
-                "all_pairs_efficiency": [round(e, 3) for e in e_effs],
-                "selection": f"best of {len(e_runs)} adjacent pairs "
-                             f"(same-conditions paired samples), clamped at 1.0",
-                "efficiency_n_to_4n_executors": round(min(max(e_effs), 1.0), 3),
+                "all_pairs_efficiency": [round(e, 3) for _, _, e in e_runs],
+                "best_pair_efficiency": round(min(e_best, 1.0), 3),
+                "selection": f"MEDIAN of {len(e_runs)} completed adjacent "
+                             f"pairs (no early exit), clamped at 1.0",
+                "efficiency_n_to_4n_executors": round(min(e_med, 1.0), 3),
             }
 
     print(json.dumps(result))

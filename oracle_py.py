@@ -170,3 +170,83 @@ def q43_expected(sf_dir: str) -> list[tuple[int, float]]:
             walks[wid] = walk(adj, wid, s, 6)
     emb = sgns(walks, dim=8, epochs=1)
     return [(v, float(emb[v][0])) for v in sorted(emb)]
+
+
+def q48_expected(sf_dir: str) -> list[tuple[int, int, int, int]]:
+    """q48 oracle: the FULL DREAMwalk traversal — edge-type transition bias,
+    node2vec p/q second-order weighting against the previous node's
+    bidirectional neighbor set, weighted similarity-graph teleport with
+    stale edge type (reference generate_embeddings.py:191-263 semantics;
+    spec in plans/walks.biased_random_walks) — as an independent sequential
+    loop. Returns (walk_id, start, path_len, last)."""
+    S = float(1 << 60)
+    es = derived_edges(sf_dir, lt=40)
+    edges = [(a, b, 1.0 + ((a + b) % 3), int(b % 2)) for a, b in es]
+    sim = [(a, b, 1.0 + (b % 2)) for a, b, _, _ in edges if (a + b) % 4 == 0]
+    M = [[0.6, 0.4], [0.3, 0.7]]
+    p_, q_, tp, length, num_walks = 0.25, 4.0, 0.2, 6, 2
+    adj: dict = {}
+    nbrsets: dict = {}
+    sim_adj: dict = {}
+    for a, b, w, t in edges:
+        adj.setdefault(a, []).append((b, w, t))
+        nbrsets.setdefault(a, set()).add(b)
+        nbrsets.setdefault(b, set()).add(a)
+    for a in adj:
+        adj[a].sort()
+    for a, b, w in sim:
+        sim_adj.setdefault(a, []).append((b, w))
+    for a in sim_adj:
+        sim_adj[a].sort()
+
+    def one_walk(wid: int, start: int) -> list[int]:
+        path, cur, prev, pet = [start], start, -1, -1
+        for step in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            u_tp = _h64(f"{wid}#{step}#tp") / S
+            s_nbrs = sim_adj.get(cur)
+            if step >= 2 and u_tp < tp and s_nbrs:
+                u_sim = _h64(f"{wid}#{step}#sim") / S
+                total = sum(w for _, w in s_nbrs)
+                acc, cum = 0.0, []
+                for _, w in s_nbrs:
+                    acc += w
+                    cum.append(acc / total)
+                idx = sum(1 for c in cum if c < u_sim)
+                prev, cur = cur, s_nbrs[idx][0]
+                path.append(cur)
+                continue
+            if pet < 0:
+                bw = [w for _, w, _ in nbrs]
+            else:
+                bw = []
+                for d, w, t in nbrs:
+                    if d in nbrsets.get(prev, set()):
+                        f = 1.0
+                    elif d == prev:
+                        f = 1.0 / p_
+                    else:
+                        f = 1.0 / q_
+                    bw.append(w * M[pet][t] * f)
+            total = sum(bw)
+            if total <= 0:
+                break
+            u = _h64(f"{wid}#{step}") / S
+            acc, cum = 0.0, []
+            for w in bw:
+                acc += w
+                cum.append(acc / total)
+            idx = sum(1 for c in cum if c < u)
+            prev, cur, pet = cur, nbrs[idx][0], nbrs[idx][2]
+            path.append(cur)
+        return path
+
+    out = []
+    for s in sorted({a for a, _, _, _ in edges}):
+        for w in range(num_walks):
+            wid = s * num_walks + w
+            path = one_walk(wid, s)
+            out.append((wid, s, len(path), path[-1]))
+    return out

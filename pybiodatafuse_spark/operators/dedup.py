@@ -217,17 +217,23 @@ def near_dup_clusters(
     k: int = 8,
     bands: int = 4,
     n: int = 3,
+    canonical: str = "quality",
 ) -> DataFrame:
     """Near-duplicate CLUSTERING — the full dedup pipeline stage a training-
     data pipeline actually runs: MinHash+LSH candidate pairs → connected
-    components over the pair graph → one canonical doc per cluster
-    (cluster_id = min doc id; ``is_canonical`` marks the keeper).
+    components over the pair graph → one canonical doc per cluster.
+
+    ``canonical="quality"`` (default): the keeper is the HIGHEST-quality doc
+    in the cluster (functions.text.quality_score, tie-break lowest doc id) —
+    what a real training-data pipeline keeps; ``canonical="min_id"`` keeps
+    the lowest id (cheaper: no text pass).
 
     Returns (doc_id, cluster_id, is_canonical) for EVERY input doc (docs
     with no near-dup form their own singleton cluster). Scale shape: LSH
     banding is bucketed (no all-pairs), components is the small-star/
-    large-star superstep plan, the final join is on doc_id — every stage is
-    shuffle-bounded by candidate-pair count, not N².
+    large-star superstep plan, the final join is on doc_id, and the quality
+    argmax is a window partitioned BY CLUSTER (no global sort) — every
+    stage is shuffle-bounded by candidate-pair count, not N².
     """
     from pybiodatafuse_spark.plans.components import components
 
@@ -239,8 +245,27 @@ def near_dup_clusters(
     )
     ids = docs.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     comp = components(spark, edges, ids)
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
+    clusters = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    if canonical == "min_id":
+        return clusters.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    if canonical != "quality":
+        raise ValueError(f"canonical must be 'quality' or 'min_id': {canonical}")
+    from pyspark.sql import Window
+
+    from pybiodatafuse_spark.functions.text import quality_score
+
+    qual = docs.select(
+        F.col(id_col).alias("doc_id"), quality_score(F.col(text_col)).alias("_q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), F.asc("doc_id"))
+    return (
+        clusters.join(qual, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("_rn") == 1).alias("is_canonical"))
     )

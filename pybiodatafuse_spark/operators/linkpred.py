@@ -80,6 +80,68 @@ def find_candidates(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
+def _score_curve(scored: DataFrame, score_col: str, label_col: str):
+    """Per-distinct-score groups with DISTRIBUTED ordered prefix sums.
+
+    Returns ``(curve, rb, n, npos)`` where curve has
+    (s, pos_s, cnt_s, pos_below, cnt_below): pos/cnt strictly below each
+    score. No global-sort window anywhere — the scan is range-partition by
+    score → window WITHIN each partition → add per-partition offsets merged
+    on the driver (≤ shuffle-partitions scalars), the classic two-pass
+    parallel prefix scan. ``rb`` is the persisted intermediate for the
+    caller to unpersist."""
+    from pyspark import StorageLevel
+
+    spark = scored.sparkSession
+    s = scored.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    g = s.groupBy("s").agg(
+        F.sum("y").alias("pos_s"),
+        F.count(F.lit(1)).cast("double").alias("cnt_s"),
+    )
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rb = (
+        g.repartitionByRange(parts, F.asc("s"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pid_tot = sorted(
+        (r["pid"], float(r["p"] or 0.0), float(r["c"]))
+        for r in rb.groupBy("pid")
+        .agg(F.sum("pos_s").alias("p"), F.sum("cnt_s").alias("c"))
+        .collect()
+    )
+    offs, acc_p, acc_c = [], 0.0, 0.0
+    for pid, p_tot, c_tot in pid_tot:
+        offs.append((pid, acc_p, acc_c))
+        acc_p += p_tot
+        acc_c += c_tot
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offs or [(0, 0.0, 0.0)], "pid int, pos_off double, cnt_off double"
+        )
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    curve = rb.join(off_df, "pid").select(
+        "s",
+        "pos_s",
+        "cnt_s",
+        (F.col("pos_off") + F.coalesce(F.sum("pos_s").over(w_in), F.lit(0.0))).alias(
+            "pos_below"
+        ),
+        (F.col("cnt_off") + F.coalesce(F.sum("cnt_s").over(w_in), F.lit(0.0))).alias(
+            "cnt_below"
+        ),
+    )
+    return curve, rb, acc_c, acc_p
+
+
 def evaluate_predictions(
     scored: DataFrame,
     *,
@@ -89,64 +151,47 @@ def evaluate_predictions(
 ) -> dict[str, float]:
     """Classification metrics over (score, label∈{0,1}) — the reference's
     ``predict_associations.return_scores`` (``:72-85``: accuracy, ROC-AUC,
-    average precision, F1), computed DISTRIBUTED:
+    average precision, F1), computed with NO global-sort window (a
+    ``Window.orderBy`` without partitioning coalesces the whole relation
+    into one task — the single-node bottleneck this operator must avoid at
+    candidate-scoring scale):
 
-    - ROC-AUC by the rank statistic (Mann–Whitney U): one global rank window
-      over scores (average ranks for ties), one aggregate;
-    - average precision (AP) from the score-descending precision/recall
-      steps: window cumsums, one aggregate — no driver-side curve;
-    - accuracy/F1 at ``threshold`` from fused conditional counts.
+    1. collapse rows to per-distinct-score (pos, count) aggregates — both
+       metrics are functions of these groups, which also makes ties exact
+       (sklearn's threshold-step AP definition) and deterministic;
+    2. ordered prefix sums via the two-pass parallel scan: range-partition
+       by score, window WITHIN each partition, add per-partition offsets
+       merged on the driver (≤ shuffle-partitions scalars);
+    3. ROC-AUC = Mann–Whitney U from (negatives below + ½·tied negatives),
+       AP = Σ_thresholds ΔRecall·Precision, accuracy/F1 from fused
+       conditional counts — one final aggregate.
 
-    Everything is two window passes + one agg — no collect of the score
-    column. Returns {"accuracy", "roc_auc", "avg_precision", "f1"}.
+    The only driver-side data are the per-partition totals and the final
+    scalar row. Returns {"accuracy", "roc_auc", "avg_precision", "f1"}.
     """
-    s = scored.select(
-        F.col(score_col).cast("double").alias("s"),
-        F.col(label_col).cast("double").alias("y"),
-    )
-    # average rank per tied score group: rank() gives the first index of the
-    # tie group; avg rank = first + (n_ties - 1)/2
-    w_asc = Window.orderBy("s")
-    ties = Window.partitionBy("s")
-    ranked = s.select(
-        "s", "y",
-        (
-            F.rank().over(w_asc).cast("double")
-            + (F.count(F.lit(1)).over(ties) - 1) / 2.0
-        ).alias("r"),
-    )
-    w_desc = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    curve = ranked.select(
-        "s", "y", "r",
-        F.sum("y").over(w_desc).alias("tp_at_k"),
-        F.count(F.lit(1)).over(w_desc).cast("double").alias("k"),
-    )
-    row = curve.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("npos"),
-        F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("pos_rank_sum"),
-        # AP = mean over positives of precision@their rank (ties broken by
-        # the window's score-descending order, sklearn step definition)
-        F.sum(
-            F.when(F.col("y") == 1.0, F.col("tp_at_k") / F.col("k"))
-        ).alias("ap_sum"),
-        F.sum(
-            F.when((F.col("s") >= threshold) & (F.col("y") == 1.0), 1).otherwise(0)
-        ).alias("tp"),
-        F.sum(
-            F.when((F.col("s") >= threshold) & (F.col("y") == 0.0), 1).otherwise(0)
-        ).alias("fp"),
-        F.sum(
-            F.when((F.col("s") < threshold) & (F.col("y") == 1.0), 1).otherwise(0)
-        ).alias("fn"),
-    ).first()
-    n, npos = row["n"], float(row["npos"] or 0.0)
+    curve, rb, n, npos = _score_curve(scored, score_col, label_col)
     nneg = n - npos
-    tp, fp, fn = row["tp"], row["fp"], row["fn"]
+    neg_s = F.col("cnt_s") - F.col("pos_s")
+    neg_below = F.col("cnt_below") - F.col("pos_below")
+    row = curve.agg(
+        # Mann–Whitney U: Σ over score groups of pos·(negs below + ½·tied
+        # negs) — exactly the average-tied-rank statistic, no ranks needed
+        F.sum(F.col("pos_s") * (neg_below + 0.5 * neg_s)).alias("u"),
+        # sklearn AP: Σ over thresholds (distinct scores, descending) of
+        # ΔRecall·Precision@threshold; ≥-s counts from the below-prefixes
+        F.sum(
+            F.col("pos_s")
+            * (F.lit(npos) - F.col("pos_below"))
+            / (F.lit(n) - F.col("cnt_below"))
+        ).alias("ap_sum"),
+        F.sum(F.when(F.col("s") >= threshold, F.col("pos_s"))).alias("tp"),
+        F.sum(F.when(F.col("s") >= threshold, neg_s)).alias("fp"),
+        F.sum(F.when(F.col("s") < threshold, F.col("pos_s"))).alias("fn"),
+    ).first()
+    rb.unpersist()
+    tp, fp, fn = float(row["tp"] or 0.0), float(row["fp"] or 0.0), float(row["fn"] or 0.0)
     auc = (
-        (float(row["pos_rank_sum"]) - npos * (npos + 1) / 2.0) / (npos * nneg)
-        if npos > 0 and nneg > 0
-        else float("nan")
+        float(row["u"]) / (npos * nneg) if npos > 0 and nneg > 0 else float("nan")
     )
     ap = float(row["ap_sum"]) / npos if npos > 0 else float("nan")
     prec = tp / (tp + fp) if (tp + fp) else 0.0

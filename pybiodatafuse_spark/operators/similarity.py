@@ -231,6 +231,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroids: DataFrame | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: each query scores only corpus vectors whose IVF cell
     is among the query's `nprobe` nearest cells.
@@ -238,6 +239,12 @@ def ivf_topk(
     ``centroids`` (centroid_id, cv): pass ``ivf_kmeans_centroids`` output for
     the trained index; default = deterministic lowest-id centroids (the
     oracle-exact mode).
+
+    ``index`` (vec_id, v, centroid_id): a PREBUILT cell assignment
+    (``ivf_assign`` output, e.g. persisted via ``Storage.append`` and read
+    back in a later session) — when given, the corpus is never rescanned
+    and search cost is only the probed cells. This is the production path:
+    build once, persist, search many times.
 
     Scale shape: index build = one broadcast projection + narrow shuffle;
     search = equi-join on centroid_id (candidates ≈ nprobe/n_centroids of the
@@ -247,7 +254,8 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
     )
-    index = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if index is None:
+        index = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     probes = _nearest_cells(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")

@@ -58,7 +58,7 @@ def train_transition_matrix(
     edges: DataFrame,
     num_etypes: int,
     *,
-    sample_mod: int = 100,
+    sample_mod: int = 10,
     max_iter: int = 20,
     tol: float = 1e-3,
     blend: float = 0.5,
@@ -79,6 +79,21 @@ def train_transition_matrix(
         C = np.zeros((K, K))
         for (i, j), n in counts.items():
             C[int(i) % K, int(j) % K] += n
+        if C.sum() == 0:
+            # the sample predicate applies PER EDGE, so a wedge survives at
+            # rate 1/sample_mod² — on small/sparse graphs an iteration can
+            # draw zero wedges; updating from an all-zero C would silently
+            # pull every row to the uniform 1/K fallback, so skip the update
+            # and try the next iteration's (different) hash sample instead
+            import warnings
+
+            warnings.warn(
+                f"train_transition_matrix: iteration {it} sampled zero wedges "
+                f"(sample_mod={sample_mod} applies per edge → wedge rate "
+                f"1/{sample_mod ** 2}); lower sample_mod for small graphs",
+                stacklevel=2,
+            )
+            continue
         # weight observed counts by current matrix (EM-ish responsibility)
         W = C * M
         row_sums = W.sum(axis=1, keepdims=True)

@@ -44,10 +44,22 @@ def _prepare(
     hubs = out_w.where(F.col("out_deg") >= hub_threshold).select(
         F.col("src").alias("id"), F.lit(True).alias("is_hub")
     )
-    edges_norm = (
-        edges.join(out_w, "src")
-        .join(F.broadcast(hubs), edges["src"] == hubs["id"], "left")
-        .select(
+    # ADAPTIVE salting: replicate hub ranks over salt buckets ONLY when hubs
+    # actually exist. On a hub-free graph the salt column would still sit in
+    # the join key, forcing a per-superstep O(V) exchange of the rank rows
+    # onto (id, salt) — but WITHOUT it the state's hashpartitioning(id) from
+    # the previous superstep's join already satisfies the hop-join's
+    # distribution, so the rank side crosses the wire exactly once per run
+    # (first superstep) and each later superstep shuffles only the contribs
+    # groupBy. Halving the per-superstep shuffles is what keeps multi-JVM
+    # (separate-executor) scaling near-linear; measured in BENCH/BASELINE.md.
+    n_hubs = hubs.count()
+    salted = n_hubs > 0 and num_salts > 1
+    edges_norm = edges.join(out_w, "src")
+    if salted:
+        edges_norm = edges_norm.join(
+            F.broadcast(hubs), edges["src"] == hubs["id"], "left"
+        ).select(
             edges["src"],
             edges["dst"],
             (F.col("weight") / F.col("out_w")).alias("frac"),
@@ -58,19 +70,25 @@ def _prepare(
             .cast("int")
             .alias("salt"),
         )
-    )
+    else:
+        edges_norm = edges_norm.select(
+            edges["src"],
+            edges["dst"],
+            (F.col("weight") / F.col("out_w")).alias("frac"),
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     # ALWAYS hash-partition the loop-invariant side on the join keys with
     # exactly spark.sql.shuffle.partitions partitions: the persisted exchange
-    # output then *satisfies* the join's ClusteredDistribution(src, salt), so
+    # output then *satisfies* the join's ClusteredDistribution, so
     # EnsureRequirements adds NO exchange for the edge side and each superstep
     # shuffles only the O(V) rank rows — without this the O(E) edge table
     # re-shuffles every superstep (measured: the dominant superstep cost at
     # 27M edges, and the reason 4→16-core scaling collapsed to ~1.6×).
-    edges_norm = edges_norm.repartition(shuffle_partitions, "src", "salt")
+    keys = ["src", "salt"] if salted else ["src"]
+    edges_norm = edges_norm.repartition(shuffle_partitions, *keys)
     edges_norm = edges_norm.persist(StorageLevel.MEMORY_AND_DISK)
 
     if vertices is not None:
@@ -90,7 +108,7 @@ def _prepare(
             F.coalesce(F.col("is_hub"), F.lit(False)).alias("is_hub"),
         )
     )
-    return edges_norm, init
+    return edges_norm, init, salted
 
 
 def pagerank(
@@ -116,7 +134,7 @@ def pagerank(
     storage + run_id), restarts from the last committed checkpoint snapshot
     (north rule: any run resumable from its last checkpoint).
     """
-    edges_norm, init = _prepare(
+    edges_norm, init, salted = _prepare(
         edges, vertices, num_salts, hub_threshold, shuffle_partitions
     )
     counts = init.agg(
@@ -151,19 +169,27 @@ def pagerank(
         # avoids re-sorting the (loop-invariant, persisted) edge table every
         # superstep, and keeps the contribs join off the single-threaded
         # broadcast-build path (both measured wins; see BENCH/BASELINE.md).
-        ranks_salted = state.select(
-            "id",
-            "rank",
-            F.explode(
-                F.when(F.col("is_hub"), salts).otherwise(F.array(F.lit(0).cast("int")))
-            ).alias("salt"),
-        ).hint("shuffle_hash")
-        contribs = (
-            ranks_salted.join(
-                edges_norm,
-                (ranks_salted["id"] == edges_norm["src"])
-                & (ranks_salted["salt"] == edges_norm["salt"]),
+        if salted:
+            ranks = state.select(
+                "id",
+                "rank",
+                F.explode(
+                    F.when(
+                        F.col("is_hub"), salts
+                    ).otherwise(F.array(F.lit(0).cast("int")))
+                ).alias("salt"),
+            ).hint("shuffle_hash")
+            cond = (ranks["id"] == edges_norm["src"]) & (
+                ranks["salt"] == edges_norm["salt"]
             )
+        else:
+            # hub-free: no salt column anywhere, so the rank side's
+            # hashpartitioning(id) from the previous superstep's join
+            # satisfies the hop-join distribution — zero rank-side exchange
+            ranks = state.select("id", "rank").hint("shuffle_hash")
+            cond = ranks["id"] == edges_norm["src"]
+        contribs = (
+            ranks.join(edges_norm, cond)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
             .withColumnRenamed("dst", "id")

@@ -23,6 +23,7 @@ Design notes:
 
 from __future__ import annotations
 
+import contextlib
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -56,6 +57,34 @@ class SuperstepResult:
 def _partition_rows(df: DataFrame) -> dict[int, int]:
     rows = df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     return {r["pid"]: r["count"] for r in rows}
+
+
+@contextlib.contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable adaptive query execution for the duration of an iterative
+    loop. Two reasons, both measured in BENCH/BASELINE.md:
+
+    - AQE wraps every plan in AdaptiveSparkPlanExec, whose outputPartitioning
+      is unknown at checkpoint time — so ``localCheckpoint`` LOSES the
+      state's hashpartitioning and every superstep re-exchanges the O(V)
+      rank/state rows. With AQE off the checkpointed LogicalRDD keeps its
+      partitioning and the hop join needs NO state-side exchange.
+    - AQE materializes each exchange as a blocking query stage with a
+      driver-side replan barrier: on a 10-superstep loop that is tens of
+      extra sync points of pure fixed cost, which is exactly the term that
+      does NOT shrink with more executors (it capped N→4N executor scaling
+      below 0.8 in r2).
+
+    Inside the loop, skew is handled by the engine's EXPLICIT hub salting
+    (plans/pagerank._prepare), so losing AQE's runtime skew-join backstop
+    here costs nothing. Non-iterative queries keep AQE on.
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def _free(df: DataFrame) -> None:
@@ -96,6 +125,30 @@ def iterate(
     Convergence: ``stop_when(deltas)`` if given (e.g. fixpoint detection via
     two equal consecutive state fingerprints), else ``deltas[-1] < tol``."""
     run_id = run_id or new_run_id()
+    with no_aqe(spark):
+        return _iterate_body(
+            spark, state, step_fn, algorithm=algorithm, max_iter=max_iter,
+            tol=tol, checkpoint_every=checkpoint_every, storage=storage,
+            run_id=run_id, start_step=start_step,
+            partition_metrics=partition_metrics, stop_when=stop_when,
+        )
+
+
+def _iterate_body(
+    spark: SparkSession,
+    state: DataFrame,
+    step_fn: StepFn,
+    *,
+    algorithm: str,
+    max_iter: int,
+    tol: float | None,
+    checkpoint_every: int,
+    storage: Storage | None,
+    run_id: str,
+    start_step: int,
+    partition_metrics: bool,
+    stop_when: Callable[[list[float]], bool] | None,
+) -> SuperstepResult:
     state = state.localCheckpoint(eager=True)
     rows_in = state.count()
     deltas: list[float] = []
@@ -140,8 +193,9 @@ def iterate(
             reloaded = storage.read_checkpoint(spark, algorithm, run_id, step)
             _free(new_state)
             new_state = reloaded.persist(StorageLevel.MEMORY_AND_DISK)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        walls.append((time.monotonic() - t0))
+        wall = time.monotonic() - t0
+        wall_ms = int(wall * 1000)
+        walls.append(wall)
         if storage is not None:
             storage.log_metrics(
                 spark,

@@ -36,8 +36,11 @@ NAMESPACES = {
     "void": "http://rdfs.org/ns/void#",
     "schema": "https://schema.org/",
     "foaf": "http://xmlns.com/foaf/0.1/",
+    "sh": "http://www.w3.org/ns/shacl#",
     "bdf": f"{BASE}:",
 }
+
+_SH = "http://www.w3.org/ns/shacl#"
 
 _RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 _RDFS_LABEL = "<http://www.w3.org/2000/01/rdf-schema#label>"
@@ -147,6 +150,112 @@ def shacl_prefixes(namespaces: dict[str, str] | None = None) -> str:
     return "\n".join(
         f"@prefix {k}: <{v}> ." for k, v in sorted(ns.items())
     ) + "\n"
+
+
+def shacl_shapes(
+    vertices: DataFrame,
+    edges: DataFrame | None = None,
+    *,
+    attrs: dict[str, str] | None = None,
+    predicate: str = "links_to",
+    threshold: float = 0.001,
+) -> DataFrame:
+    """Frequency-mined SHACL node shapes (K6 tail — the reference's
+    ``Graph.shacl`` runs shexer's all-classes shape mining over the instance
+    graph, ``graph/rdf/rdf.py:1164-1189`` → ``utils.py:88-165``).
+
+    Spark restatement of the same mining, declarative end-to-end: ONE
+    groupBy over the vertex table computes, per node ``type``, the instance
+    count, each attribute's non-null count, and (via a semi-join on the
+    edge table) the has-out-edge count. A property constraint is emitted
+    when its observed frequency ≥ ``threshold`` (shexer's
+    ``acceptance_threshold``), with ``sh:minCount 1`` exactly when the
+    property is present on EVERY instance of the type. The aggregated
+    relation is O(#types) rows; the triple assembly is a projection.
+
+    Emits, per type T (subject ``<urn:bdf:shape:T>``):
+      ``a sh:NodeShape`` / ``sh:targetClass <urn:bdf:type:T>``, and per
+      accepted property P: ``sh:property <urn:bdf:shape:T:prop:P>`` with
+      ``sh:path`` / ``sh:datatype`` (``sh:nodeKind sh:IRI`` for the edge
+      predicate) / conditional ``sh:minCount 1``.
+    """
+    attrs = attrs or {}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for col in attrs:
+        aggs.append(F.count(F.col(col)).alias(f"_c_{col}"))
+    agg = vertices.groupBy("type").agg(*aggs)
+    if edges is not None:
+        has_out = (
+            vertices.join(
+                edges.select(F.col("src").alias("id")).dropDuplicates(["id"]),
+                "id",
+                "left_semi",
+            )
+            .groupBy("type")
+            .agg(F.count(F.lit(1)).alias("_c_out"))
+        )
+        agg = agg.join(has_out, "type", "left").withColumn(
+            "_c_out", F.coalesce(F.col("_c_out"), F.lit(0))
+        )
+
+    shape = F.concat(F.lit(f"<{BASE}:shape:"), F.col("type").cast("string"))
+    node_shape = agg.select(
+        F.explode(
+            F.array(
+                F.concat(shape, F.lit(f"> {_RDF_TYPE} <{_SH}NodeShape> .")),
+                F.concat(
+                    shape,
+                    F.lit(f"> <{_SH}targetClass> <{BASE}:type:"),
+                    F.col("type").cast("string"),
+                    F.lit("> ."),
+                ),
+            )
+        ).alias("triple")
+    )
+    out = node_shape
+
+    def prop_triples(col: str, path: str, dt_triple, cnt: Column) -> DataFrame:
+        prop = F.concat(shape, F.lit(f":prop:{col}"))
+        base_arr = F.array(
+            F.concat(shape, F.lit(f"> <{_SH}property> "), prop, F.lit("> .")),
+            F.concat(prop, F.lit(f"> <{_SH}path> {path} .")),
+            dt_triple(prop),
+        )
+        with_min = F.concat(
+            base_arr,
+            F.when(
+                cnt == F.col("_n"),
+                F.array(F.concat(prop, F.lit(f"> <{_SH}minCount> 1 ."))),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        return agg.where(cnt / F.col("_n") >= threshold).select(
+            F.explode(with_min).alias("triple")
+        )
+
+    for col, xsd in attrs.items():
+        path = _RDFS_LABEL if col == "label" else f"<{BASE}:pred:{col}>"
+        out = out.unionByName(
+            prop_triples(
+                col,
+                path,
+                lambda prop, x=xsd: F.concat(
+                    prop, F.lit(f"> <{_SH}datatype> <{_XSD}{x}> .")
+                ),
+                F.col(f"_c_{col}"),
+            )
+        )
+    if edges is not None:
+        out = out.unionByName(
+            prop_triples(
+                predicate,
+                f"<{BASE}:pred:{predicate}>",
+                lambda prop: F.concat(
+                    prop, F.lit(f"> <{_SH}nodeKind> <{_SH}IRI> .")
+                ),
+                F.col("_c_out"),
+            )
+        )
+    return out
 
 
 def generate_rdf(

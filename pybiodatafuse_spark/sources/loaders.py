@@ -47,6 +47,7 @@ def _read_xlsx_rows(path: str) -> list[list]:
     """Minimal stdlib .xlsx reader (a .xlsx is a zip of XML): parses
     sharedStrings + the first worksheet's inline/shared values. Covers the
     flat header+data DEA sheets the reference reads — no openpyxl needed."""
+    import os
     import re
     import xml.etree.ElementTree as ET
     import zipfile
@@ -60,9 +61,13 @@ def _read_xlsx_rows(path: str) -> list[list]:
                 shared.append("".join(t.text or "" for t in si.iter(
                     "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
                 )))
-        sheet = next(
-            n for n in sorted(z.namelist())
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        # numeric sort: lexicographic picks sheet10.xml over sheet2.xml
+        sheet = min(
+            (
+                n for n in z.namelist()
+                if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+            ),
+            key=lambda n: int(re.search(r"\d+", os.path.basename(n)).group()),
         )
         root = ET.fromstring(z.read(sheet))
     rows: list[list] = []
@@ -120,7 +125,11 @@ def dea_from_excel(
         if not rows:
             raise ValueError(f"empty xlsx sheet: {path}")
         header = [str(h) for h in rows[0]]
-        pdf = pd.DataFrame(rows[1:], columns=header)
+        # pad/truncate ragged rows to the header width — a populated cell to
+        # the right of the header (or a short row) must not crash the load
+        w = len(header)
+        data = [r[:w] + [None] * (w - len(r)) for r in rows[1:]]
+        pdf = pd.DataFrame(data, columns=header)
     else:
         pdf = pd.read_excel(path, engine=engine)
     first = id_col or pdf.columns[0]

@@ -47,11 +47,36 @@ def new_run_id() -> str:
 
 
 class Storage:
-    def __init__(self, root: str, table_format: str = "parquet") -> None:
+    def __init__(
+        self, root: str, table_format: str = "parquet", catalog: str | None = None
+    ) -> None:
         if table_format not in ("parquet", "iceberg"):
             raise ValueError(f"unsupported table format: {table_format}")
+        if table_format == "iceberg" and not catalog:
+            raise ValueError(
+                "table_format='iceberg' requires a catalog name (e.g. "
+                "Storage(root, 'iceberg', catalog='prod')) with "
+                "spark.sql.catalog.<name> configured on the session; "
+                "use table_format='parquet' for the local snapshot-commit "
+                "emulation"
+            )
         self.root = root
         self.table_format = table_format
+        self.catalog = catalog
+
+    def _require_iceberg(self, spark: SparkSession) -> None:
+        """Fail actionably instead of silently falling back to parquet."""
+        if spark.conf.get(f"spark.sql.catalog.{self.catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog '{self.catalog}' is not configured on this "
+                f"session: set spark.sql.catalog.{self.catalog}="
+                "org.apache.iceberg.spark.SparkCatalog (+ warehouse/type) and "
+                "add the iceberg-spark-runtime jar, or construct Storage with "
+                "table_format='parquet'"
+            )
+
+    def _iceberg_ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
 
     # --- checkpoints --------------------------------------------------------
 
@@ -105,27 +130,76 @@ class Storage:
         with open(f) as fh:
             return json.load(fh)["snapshots"]
 
+    def _commit_lock(self, name: str):
+        """O_EXCL lock file serializing the metadata read-modify-write: the
+        actual optimistic-concurrency piece of the Iceberg commit model.
+        Without it two concurrent appends both compute ``last+1`` and the
+        later ``os.replace`` silently drops the other's committed snapshot
+        (e.g. ``log_metrics`` from parallel runs)."""
+        import contextlib
+        import time as _time
+
+        lock = os.path.join(self.table_path(name), "metadata.lock")
+
+        @contextlib.contextmanager
+        def held():
+            deadline = _time.monotonic() + 60.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock held too long: {lock} (stale? delete it)"
+                        )
+                    _time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(lock)
+
+        return held()
+
     def append(self, df: DataFrame, name: str) -> int:
         """Snapshot-commit append (Iceberg model): data lands in an immutable
-        ``snap-<id>`` dir; the commit is one atomic metadata-pointer swap.
-        Returns the new snapshot id."""
+        ``snap-*`` dir; the commit is one atomic metadata-pointer swap,
+        serialized by a lock so concurrent appends can't drop each other's
+        snapshots. Returns the new snapshot id.
+
+        In ``iceberg`` mode this is a real ``writeTo(...).append()`` against
+        the configured catalog (requires iceberg runtime jars)."""
+        if self.table_format == "iceberg":
+            self._require_iceberg(df.sparkSession)
+            ident = self._iceberg_ident(name)
+            df.writeTo(ident).createOrReplace() if not df.sparkSession.catalog.tableExists(
+                ident
+            ) else df.writeTo(ident).append()
+            last = df.sparkSession.sql(
+                f"SELECT max(snapshot_id) AS s FROM {ident}.snapshots"
+            ).first()
+            return int(last["s"])
         base = self.table_path(name)
         os.makedirs(base, exist_ok=True)
-        snaps = self.snapshots(name)
-        snap_id = (snaps[-1]["id"] + 1) if snaps else 1
-        data_dir = os.path.join(base, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
+        # data files land OUTSIDE the lock (the slow part, parallel-safe:
+        # uuid dir names can't collide); only the pointer swap is serialized
+        data_dir = os.path.join(base, f"snap-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").parquet(data_dir)
-        snaps.append(
-            {
-                "id": snap_id,
-                "ts": datetime.now(timezone.utc).isoformat(),
-                "dir": os.path.basename(data_dir),
-            }
-        )
-        tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"format_version": 1, "snapshots": snaps}, fh)
-        os.replace(tmp, self._metadata_file(name))  # the atomic commit
+        with self._commit_lock(name):
+            snaps = self.snapshots(name)  # re-read under the lock
+            snap_id = (snaps[-1]["id"] + 1) if snaps else 1
+            snaps.append(
+                {
+                    "id": snap_id,
+                    "ts": datetime.now(timezone.utc).isoformat(),
+                    "dir": os.path.basename(data_dir),
+                }
+            )
+            tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"format_version": 1, "snapshots": snaps}, fh)
+            os.replace(tmp, self._metadata_file(name))  # the atomic commit
         return snap_id
 
     def read_table(
@@ -139,6 +213,14 @@ class Storage:
         """Read the table at the latest snapshot, or time-travel with
         ``snapshot_id`` (VERSION AS OF) / ``as_of`` ISO timestamp
         (TIMESTAMP AS OF)."""
+        if self.table_format == "iceberg":
+            self._require_iceberg(spark)
+            reader = spark.read.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
+            if as_of is not None:
+                reader = reader.option("as-of-timestamp", as_of)
+            return reader.table(self._iceberg_ident(name))
         snaps = self.snapshots(name)
         if not snaps:
             raise FileNotFoundError(f"table has no committed snapshots: {name}")

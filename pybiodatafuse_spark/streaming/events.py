@@ -88,14 +88,21 @@ def streaming_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup for a document ingest stream: content-hash the
-    text and keep the first arrival per hash within the watermark horizon
-    (`dropDuplicates` keyed on the hash — Spark bounds the dedup state by
-    the event-time watermark, so state is O(docs per horizon), not O(all
-    docs ever)). The streaming face of operators/dedup.exact_duplicates —
-    at crawl scale this is the ingest-time filter that keeps recrawled
-    pages from re-entering the corpus."""
+    text and keep the first arrival per hash within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` — with plain ``dropDuplicates`` on
+    a key subset that EXCLUDES the event-time column, Spark never evicts the
+    per-key state (state would grow with every distinct hash ever seen and
+    OOM on an unbounded crawl). ``dropDuplicatesWithinWatermark`` dedups on
+    the hash alone while evicting a key's state once the watermark passes
+    its event time + delay, so state is O(docs per horizon): a recrawl
+    *inside* the horizon is dropped; one after eviction re-enters (the batch
+    compaction dedup catches those). The streaming face of
+    operators/dedup.exact_duplicates — at crawl scale this is the
+    ingest-time filter that keeps recrawled pages from re-entering the
+    corpus."""
     return (
         docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_hash"])
+        .dropDuplicatesWithinWatermark(["content_hash"])
     )

@@ -28,7 +28,15 @@ def _build_graph(spark, args):
     from pybiodatafuse_spark.sources.loaders import read_pages
 
     if args.pages:
-        pages = read_pages(spark, args.pages)
+        if args.pages.isdigit():
+            # synthetic mode: --pages N generates the deterministic snapshot
+            # (same generator as bench.py) — lets the packaged job run
+            # end-to-end on a box with no crawl data
+            from pybiodatafuse_spark.datagen import generate_pages
+
+            pages = generate_pages(spark, int(args.pages), partitions=32)
+        else:
+            pages = read_pages(spark, args.pages)
         verts = build_vertices(pages).persist()
         edges = build_edges(pages, verts).persist()
     else:

@@ -108,8 +108,19 @@ def test_near_dup_clusters(spark):
     got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
            for r in near_dup_clusters(docs).collect()}
     assert set(got) == {1, 2, 3, 4}
-    # 1 and 2 are identical -> same cluster, 1 canonical
-    assert got[1] == (1, True)
+    # 1, 2, 3 share shingles -> one cluster; default canonical="quality"
+    # keeps the HIGHEST-quality doc (3, the longer text), not the lowest id
+    assert got[1] == (1, False)
     assert got[2] == (1, False)
+    assert got[3] == (1, True)
     # 4 shares no shingles -> its own singleton cluster
     assert got[4] == (4, True)
+
+    # min_id mode: canonical = lowest id (= component id), identical-quality
+    # tie-break path of the cheap variant
+    got2 = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in near_dup_clusters(docs, canonical="min_id").collect()}
+    assert got2[1] == (1, True)
+    assert got2[2] == (1, False)
+    assert got2[3] == (1, False)
+    assert got2[4] == (4, True)

@@ -130,6 +130,52 @@ def test_rdf_full_parity(spark):
     assert "@prefix void: <http://rdfs.org/ns/void#> ." in pfx
 
 
+def test_shacl_shape_mining(spark):
+    """K6 tail: frequency-mined SHACL node shapes (reference rdf.py
+    get_shapes via shexer, :1164-1189). Exact triple check on a 2-type
+    graph: minCount 1 only where coverage is total, edge property emitted
+    only for types with out-edges, sub-threshold attrs dropped."""
+    from pybiodatafuse_spark.sinks.rdf import shacl_shapes
+
+    # type "a": 2 nodes, both labelled, both with out-edges
+    # type "b": 2 nodes, one labelled, NO out-edges
+    verts = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "a"), (3, "z", "b"), (4, None, "b")],
+        "id long, label string, type string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3, 1.0, 1), (2, 4, 1.0, 1)],
+        "src long, dst long, weight double, etype int",
+    )
+    got = sorted(
+        r["triple"]
+        for r in shacl_shapes(verts, edges, attrs={"label": "string"}).collect()
+    )
+    sh = "http://www.w3.org/ns/shacl#"
+    assert f"<urn:bdf:shape:a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <{sh}NodeShape> ." in got
+    assert f"<urn:bdf:shape:a> <{sh}targetClass> <urn:bdf:type:a> ." in got
+    # label: full coverage on "a" -> minCount 1; partial on "b" -> no minCount
+    assert f"<urn:bdf:shape:a:prop:label> <{sh}minCount> 1 ." in got
+    assert f"<urn:bdf:shape:b:prop:label> <{sh}minCount> 1 ." not in got
+    assert (
+        "<urn:bdf:shape:b:prop:label> <http://www.w3.org/2000/01/rdf-schema#label> ."
+        not in got
+    )  # path triple uses sh:path
+    assert f"<urn:bdf:shape:b:prop:label> <{sh}path> <http://www.w3.org/2000/01/rdf-schema#label> ." in got
+    assert f"<urn:bdf:shape:b:prop:label> <{sh}datatype> <http://www.w3.org/2001/XMLSchema#string> ." in got
+    # edge predicate: only "a" has out-edges, and ALL of "a" does -> minCount
+    assert f"<urn:bdf:shape:a:prop:links_to> <{sh}nodeKind> <{sh}IRI> ." in got
+    assert f"<urn:bdf:shape:a:prop:links_to> <{sh}minCount> 1 ." in got
+    assert not any("shape:b:prop:links_to" in t for t in got)
+    # threshold: a never-present attr emits nothing
+    got2 = shacl_shapes(
+        verts.withColumn("extra", F.lit(None).cast("string")),
+        edges,
+        attrs={"extra": "string"},
+    ).collect()
+    assert not any("prop:extra" in r["triple"] for r in got2)
+
+
 def test_dea_from_excel_stdlib_fallback(spark, tmp_path):
     """S4: the .xlsx loader works WITHOUT openpyxl via the stdlib zip+XML
     fallback (reference data_loader.py:52-87 semantics: first column renamed
@@ -163,3 +209,36 @@ def test_dea_from_excel_stdlib_fallback(spark, tmp_path):
         legacy = tmp_path / "dea.xls"
         legacy.write_bytes(b"legacy")
         dea_from_excel(spark, str(legacy), engine="stdlib")
+
+
+def test_dea_from_excel_ragged_rows_and_sheet_order(spark, tmp_path):
+    """S4 robustness: (a) a data row with a populated cell RIGHT of the header
+    (or a short row) is padded/truncated to the header width instead of
+    crashing pd.DataFrame; (b) the first worksheet is picked by NUMERIC
+    suffix (sheet2 before sheet10), not lexicographically."""
+    import zipfile
+
+    from pybiodatafuse_spark.sources.loaders import dea_from_excel
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    good = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>gene</v></c><c r="B1" t="str"><v>fc</v></c></row>'
+        '<row r="2"><c r="A2" t="str"><v>g1</v></c><c r="B2"><v>1.5</v></c>'
+        '<c r="C2" t="str"><v>stray</v></c></row>'  # cell right of header
+        '<row r="3"><c r="A3" t="str"><v>g2</v></c></row>'  # short row
+        "</sheetData></worksheet>"
+    )
+    decoy = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>wrong</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "ragged.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet10.xml", decoy)  # lexicographic decoy
+        z.writestr("xl/worksheets/sheet2.xml", good)
+    df = dea_from_excel(spark, str(p), engine="stdlib")
+    assert df.columns == ["identifier", "fc"]
+    rows = {r["identifier"]: r["fc"] for r in df.collect()}
+    assert rows["g1"] == 1.5 and rows["g2"] is None

@@ -118,3 +118,25 @@ def test_ic_similarity_root_cap_bounds_candidates(spark):
     for r in capped.collect():
         assert abs(fm[(r["a"], r["b"])] - r["ic_mica"]) < 1e-12
     anc.unpersist()
+
+
+def test_em_zero_wedge_sample_warns_not_collapses(spark):
+    """Per-edge sampling means wedge rate 1/mod²: an iteration that draws
+    zero wedges must warn and SKIP the update (not silently drive every row
+    of the matrix to the uniform fallback)."""
+    import warnings
+
+    import numpy as np
+
+    from pybiodatafuse_spark.plans.em import train_transition_matrix
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 1)], "src long, dst long, etype int"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        M, deltas = train_transition_matrix(
+            spark, edges, num_etypes=2, sample_mod=10_000, max_iter=2
+        )
+    assert any("zero wedges" in str(w.message) for w in caught)
+    assert np.allclose(M, 0.5) and deltas == []  # untouched uniform 1/K init

@@ -110,3 +110,40 @@ def test_evaluate_predictions_matches_numpy(spark):
     for m, v in want.items():
         assert abs(got[m] - v) < 1e-9, (m, got[m], v)
     assert got["roc_auc"] > 0.8  # the scores are informative
+
+
+def test_evaluate_predictions_tied_scores_sklearn_steps(spark):
+    """Tied scores across classes: AP must follow the tie-correct threshold-
+    step definition (deterministic — independent of intra-tie row order),
+    AUC the average-tied-rank statistic."""
+    import numpy as np
+
+    from pybiodatafuse_spark.operators.linkpred import evaluate_predictions
+
+    #          score: 0.9  0.9  0.7  0.7  0.7  0.3  0.3
+    #          label:  1    0    1    1    0    0    1
+    rows = [(0.9, 1), (0.9, 0), (0.7, 1), (0.7, 1), (0.7, 0), (0.3, 0), (0.3, 1)]
+    got = evaluate_predictions(
+        spark.createDataFrame(rows, "score double, label int")
+    )
+    s = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    npos, nneg = y.sum(), (1 - y).sum()
+    # AUC: per positive, negatives strictly below + half the tied negatives
+    u = sum(((s < si) & (y == 0)).sum() + 0.5 * ((s == si) & (y == 0)).sum()
+            for si, yi in rows if yi == 1)
+    want_auc = u / (npos * nneg)
+    # AP over distinct thresholds descending: sum dRecall * precision@thr
+    want_ap = 0.0
+    for thr in sorted(set(s), reverse=True):
+        tp_ge = ((s >= thr) & (y == 1)).sum()
+        n_ge = (s >= thr).sum()
+        pos_at = ((s == thr) & (y == 1)).sum()
+        want_ap += (pos_at / npos) * (tp_ge / n_ge)
+    assert abs(got["roc_auc"] - want_auc) < 1e-12
+    assert abs(got["avg_precision"] - want_ap) < 1e-12
+    # shuffling the input rows changes nothing (tie-order independence)
+    got2 = evaluate_predictions(
+        spark.createDataFrame(rows[::-1], "score double, label int")
+    )
+    assert got2 == got

@@ -56,14 +56,10 @@ def test_superstep_join_is_not_broadcast_or_sortmerge(spark):
         [(i, (i + 1) % 50, 1.0, 1) for i in range(50)],
         "src long, dst long, weight double, etype int",
     )
-    edges_norm, init = _prepare(edges, None, 4, 1000, None)
-    ranks = init.select("id", F.lit(0.02).alias("rank")).withColumn(
-        "salt", F.lit(0).cast("int")
-    ).hint("shuffle_hash")
-    joined = ranks.join(
-        edges_norm,
-        (ranks["id"] == edges_norm["src"]) & (ranks["salt"] == edges_norm["salt"]),
-    )
+    edges_norm, init, salted = _prepare(edges, None, 4, 1000, None)
+    assert not salted  # hub-free graph → adaptive unsalted plan
+    ranks = init.select("id", F.lit(0.02).alias("rank")).hint("shuffle_hash")
+    joined = ranks.join(edges_norm, ranks["id"] == edges_norm["src"])
     plan = _plan(joined)
     assert "ShuffledHashJoin" in plan
     edges_norm.unpersist()
@@ -81,19 +77,10 @@ def test_superstep_edge_side_never_reshuffles(spark):
         [(i, (i + 3) % 60, 1.0, 1) for i in range(60)],
         "src long, dst long, weight double, etype int",
     )
-    edges_norm, init = _prepare(edges, None, 4, 1000, None)
-    # salt must be a REAL column (explode output, as in the actual step): a
-    # literal salt would constant-fold out of the join keys, change the
-    # required distribution to [src] alone, and force a spurious exchange
-    ranks = init.select(
-        "id",
-        F.lit(0.02).alias("rank"),
-        F.explode(F.array(F.lit(0).cast("int"))).alias("salt"),
-    ).hint("shuffle_hash")
-    joined = ranks.join(
-        edges_norm,
-        (ranks["id"] == edges_norm["src"]) & (ranks["salt"] == edges_norm["salt"]),
-    )
+    edges_norm, init, salted = _prepare(edges, None, 4, 1000, None)
+    assert not salted  # hub-free graph → unsalted join on src alone
+    ranks = init.select("id", F.lit(0.02).alias("rank")).hint("shuffle_hash")
+    joined = ranks.join(edges_norm, ranks["id"] == edges_norm["src"])
     joined.count()  # execute so AQE finalizes the plan
     plan = _plan(joined)
     assert "InMemoryTableScan" in plan and "ShuffledHashJoin" in plan, plan
@@ -139,3 +126,57 @@ def test_em_sample_filter_below_wedge_join(spark, tmp_path):
     below = plan[join_i:]
     # the md5-hash sample predicate must occur in BOTH children below the join
     assert below.count("pmod(cast(conv(substring(md5") >= 2, plan
+
+
+def test_metrics_prefix_scan_has_no_single_partition_window(spark):
+    """evaluate_predictions' prefix scan must stay distributed: the executed
+    plan of the curve relation may not contain a SinglePartition exchange
+    (the signature of an unpartitioned Window.orderBy, which coalesces the
+    whole scored relation into one task — the 100-TB scale-killer q47 had
+    in r2). The windows must be partitioned (hashpartitioning on pid)."""
+    from pybiodatafuse_spark.operators.linkpred import _score_curve
+
+    scored = spark.range(5000).select(
+        (F.pmod(F.xxhash64("id"), 1000) / 1000.0).alias("score"),
+        (F.col("id") % 3 == 0).cast("int").alias("label"),
+    )
+    curve, rb, n, npos = _score_curve(scored, "score", "label")
+    curve.count()  # execute so AQE finalizes
+    plan = _plan(curve)
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    rb.unpersist()
+
+
+def test_walk_adjacency_side_never_reshuffles(spark):
+    """The walk adjacency is loop-invariant: _pin hash-partitions it on src
+    with the session shuffle-partition count and persists, so every hop's
+    frontier ⋈ adjacency join must read it straight from the cache with NO
+    Exchange above the InMemoryTableScan — each hop shuffles only the
+    O(active walks) frontier (the defect class pagerank._prepare documents;
+    walks had it until r3)."""
+    from pybiodatafuse_spark.plans.walks import _pin, _typed_adjacency
+
+    edges = spark.createDataFrame(
+        [(i, (i + 3) % 60, 1.0, i % 2) for i in range(60)],
+        "src long, dst long, weight double, etype int",
+    )
+    adj = _pin(_typed_adjacency(edges))
+    frontier = spark.range(40).select(
+        F.col("id").alias("walk_id"), (F.col("id") % 60).alias("cur")
+    )
+    joined = frontier.hint("shuffle_hash").join(
+        adj, frontier["cur"] == adj["src"], "left"
+    )
+    joined.count()  # execute so AQE finalizes the plan
+    plan = _plan(joined)
+    assert "InMemoryTableScan" in plan, plan
+    lines = plan.splitlines()
+    scan_i = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    start_i = next(
+        i for i in range(scan_i, -1, -1) if lines[i].lstrip().startswith("+- ")
+        and len(lines[i]) - len(lines[i].lstrip()) <= 3
+    )
+    edge_branch = "\n".join(lines[start_i:scan_i])
+    assert "Exchange" not in edge_branch, plan
+    adj.unpersist()

@@ -68,3 +68,35 @@ def test_table_snapshot_commit_and_time_travel(spark, tmp_path):
     # resume still finds the highest atomic checkpoint
     st.write_checkpoint(spark.createDataFrame([(7,)], "x long"), "alg", "r1", 3)
     assert st.last_checkpoint_step("alg", "r1") == 3
+
+
+def test_concurrent_appends_drop_no_snapshot(spark, tmp_path):
+    """The commit lock gives real optimistic-concurrency semantics: N
+    parallel appends → N committed snapshots with distinct consecutive ids
+    (without the lock, racing read-modify-writes of metadata.json silently
+    drop committed snapshots — the log_metrics-from-parallel-runs case)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    st = Storage(str(tmp_path / "store"))
+    dfs = [spark.createDataFrame([(i,)], "x long") for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        ids = list(ex.map(lambda d: st.append(d, "t"), dfs))
+    assert sorted(ids) == list(range(1, 9))
+    assert len(st.snapshots("t")) == 8
+    assert {r["x"] for r in st.read_table(spark, "t").collect()} == set(range(8))
+
+
+def test_iceberg_mode_is_honest(spark, tmp_path):
+    """table_format='iceberg' never silently degrades to parquet: it demands
+    a catalog at construction and a configured spark.sql.catalog.<name> at
+    first use; parquet mode is unchanged."""
+    import pytest
+
+    with pytest.raises(ValueError, match="catalog"):
+        Storage(str(tmp_path), table_format="iceberg")
+    st = Storage(str(tmp_path), table_format="iceberg", catalog="prod")
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.prod"):
+        st.append(df, "t")
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.prod"):
+        st.read_table(spark, "t")

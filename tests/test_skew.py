@@ -18,7 +18,8 @@ def _hub_graph(spark, n=2000):
 
 def test_hub_edges_spread_across_salt_buckets(spark):
     edges = _hub_graph(spark)
-    edges_norm, init = _prepare(edges, None, 8, 1000, None)
+    edges_norm, init, salted = _prepare(edges, None, 8, 1000, None)
+    assert salted  # the hub trips the adaptive salting on
     hub_salts = (
         edges_norm.where(F.col("src") == 0)
         .groupBy("salt").count().collect()

@@ -100,3 +100,14 @@ def test_streaming_dedup_drops_recrawls(spark, tmp_path):
                 (5, "gamma text", t0 + dt.timedelta(minutes=30))])
     second = run_once()
     assert len(second) == 3 and 5 in second and 4 not in second
+    # STATE EVICTION (the OOM-on-unbounded-crawl guard): advance the
+    # watermark past alpha's event time + delay (t0+2h) with an unrelated
+    # doc at t0+5h, after which the alpha hash state is evicted...
+    write_docs([(6, "delta text", t0 + dt.timedelta(hours=5))])
+    third = run_once()
+    assert 6 in third
+    # ...so a recrawl AFTER eviction re-enters (dedup is within-horizon by
+    # design; the batch compaction job catches cross-horizon dups)
+    write_docs([(7, "alpha text", t0 + dt.timedelta(hours=5, minutes=30))])
+    fourth = run_once()
+    assert 7 in fourth

@@ -137,3 +137,137 @@ def test_biased_walks_zero_bias_row_ends_walk(spark):
     starts = spark.createDataFrame([(0,)], "id long")
     got = biased_random_walks(spark, edges, starts, M, num_walks=1, walk_length=5).collect()
     assert list(got[0]["path"]) == [0, 1]  # first hop unbiased, then stuck
+
+
+def oracle_dreamwalk(
+    adj, nbrsets, sim_adj, walk_id, start, length, M, p, q, teleport
+):
+    """Full DREAMwalk traversal oracle: node2vec p/q second-order weighting
+    + weighted sim-graph teleport (reference generate_embeddings.py:210-263
+    semantics, deterministic hash randomness). adj: src -> sorted
+    (dst, weight, etype); sim_adj: src -> sorted (dst, weight)."""
+    S = float(1 << 60)
+    path, cur, prev, pet = [start], start, -1, -1
+    for step in range(1, length + 1):
+        nbrs = adj.get(cur)
+        if not nbrs:
+            break  # dead-end break BEFORE teleport (reference :316)
+        u_tp = h64(f"{walk_id}#{step}#tp") / S
+        sim = sim_adj.get(cur)
+        if step >= 2 and teleport > 0 and u_tp < teleport and sim:
+            u_sim = h64(f"{walk_id}#{step}#sim") / S
+            total = sum(w for _, w in sim)
+            acc, cum = 0.0, []
+            for _, w in sim:
+                acc += w
+                cum.append(acc / total)
+            idx = sum(1 for c in cum if c < u_sim)
+            prev, cur = cur, sim[idx][0]  # pet KEPT (stale edge type)
+            path.append(cur)
+            continue
+        if pet < 0:
+            bw = [w for _, w, _ in nbrs]
+        else:
+            bw = []
+            for d, w, t in nbrs:
+                if d in nbrsets.get(prev, set()):
+                    f = 1.0
+                elif d == prev:
+                    f = 1.0 / p
+                else:
+                    f = 1.0 / q
+                bw.append(w * M[pet][t] * f)
+        total = sum(bw)
+        if total <= 0:
+            break
+        u = h64(f"{walk_id}#{step}") / S
+        acc, cum = 0.0, []
+        for w in bw:
+            acc += w
+            cum.append(acc / total)
+        idx = sum(1 for c in cum if c < u)
+        prev, cur, pet = cur, nbrs[idx][0], nbrs[idx][2]
+        path.append(cur)
+    return path
+
+
+def _dreamwalk_fixture():
+    es = [
+        (0, 1, 2.0, 0), (0, 2, 1.0, 1), (1, 2, 1.0, 0), (1, 3, 2.0, 1),
+        (2, 0, 1.0, 1), (2, 3, 3.0, 0), (3, 4, 1.0, 0), (3, 0, 1.0, 1),
+        (4, 1, 2.0, 0), (4, 5, 1.0, 1), (5, 2, 1.0, 0),
+    ]
+    sim = [(0, 3, 1.0), (0, 4, 2.0), (2, 5, 1.5), (3, 1, 1.0), (4, 0, 3.0)]
+    M = [[0.7, 0.3], [0.1, 0.9]]
+    adj, nbrsets, sim_adj = {}, {}, {}
+    for a, b, w, t in es:
+        adj.setdefault(a, []).append((b, w, t))
+        nbrsets.setdefault(a, set()).add(b)
+        nbrsets.setdefault(b, set()).add(a)
+    for a in adj:
+        adj[a].sort()
+    for a, b, w in sim:
+        sim_adj.setdefault(a, []).append((b, w))
+    for a in sim_adj:
+        sim_adj[a].sort()
+    return es, sim, M, adj, nbrsets, sim_adj
+
+
+def test_node2vec_pq_walks_match_oracle(spark):
+    """G7 second-order semantics: p/q weighting against the previous node's
+    bidirectional neighbor set, exactly per the reference's order of checks
+    (adjacent-to-prev first, then return/p, else in-out/q)."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    es, _, M, adj, nbrsets, _ = _dreamwalk_fixture()
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    starts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    for p, q in [(0.5, 2.0), (4.0, 0.25)]:
+        got = {
+            r["walk_id"]: list(r["path"])
+            for r in biased_random_walks(
+                spark, edges, starts, M, num_walks=2, walk_length=7, p=p, q=q
+            ).collect()
+        }
+        assert len(got) == 12
+        for start in range(6):
+            for w in range(2):
+                wid = start * 2 + w
+                want = oracle_dreamwalk(
+                    adj, nbrsets, {}, wid, start, 7, M, p, q, 0.0
+                )
+                assert got[wid] == want, (p, q, wid, got[wid], want)
+
+
+def test_weighted_sim_teleport_matches_oracle(spark):
+    """G7 teleport parity: jump to a similarity-graph neighbor sampled by
+    edge weight; pet kept (the reference appends to walk but not edge_walk);
+    nodes absent from g_sim never teleport; dead-end checked first."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    es, sim, M, adj, nbrsets, sim_adj = _dreamwalk_fixture()
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    sim_edges = spark.createDataFrame(sim, "src long, dst long, weight double")
+    starts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in biased_random_walks(
+            spark, edges, starts, M, num_walks=3, walk_length=8,
+            p=0.5, q=2.0, teleport=0.3, sim_edges=sim_edges,
+        ).collect()
+    }
+    assert len(got) == 18
+    n_tp = 0
+    for start in range(6):
+        for w in range(3):
+            wid = start * 3 + w
+            want = oracle_dreamwalk(
+                adj, nbrsets, sim_adj, wid, start, 8, M, 0.5, 2.0, 0.3
+            )
+            assert got[wid] == want, (wid, got[wid], want)
+            # count teleports the oracle takes so the test is known non-vacuous
+            S = float(1 << 60)
+            n_tp += sum(
+                1 for k in range(2, 9) if h64(f"{wid}#{k}#tp") / S < 0.3
+            )
+    assert n_tp > 0
