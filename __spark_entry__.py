@@ -1377,6 +1377,206 @@ SELECT id_a, id_b, cos FROM (
 
 
 # ---------------------------------------------------------------------------
+# round 3 additions: HITS / k-core / host rollup / personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def q50_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 family: HITS hubs/authorities, 3 fixed iterations (SQL-unrollable;
+    plans/hits.py — semi-normalized power iteration, final exact L2)."""
+    from pybiodatafuse_spark.plans.hits import hits
+
+    e = _derived_edges(spark, sf_dir)
+    res = hits(spark, e, tol=None, max_iter=3)
+    return res.select(
+        "id",
+        F.round("auth", 6).alias("auth_r6"),
+        F.round("hub", 6).alias("hub_r6"),
+    )
+
+
+def _hits3_sql() -> str:
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        f"verts AS ({_VERTS_SQL}),",
+        "s0 AS (SELECT id, 1.0::DOUBLE AS a, 1.0::DOUBLE AS h FROM verts),",
+    ]
+    for k in range(1, 4):
+        p = k - 1
+        parts.append(
+            f"n{k} AS (SELECT sqrt(sum(a*a)) AS an, sqrt(sum(h*h)) AS hn "
+            f"FROM s{p}),"
+        )
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS id, "
+            f"sum(s.h/(SELECT hn FROM n{k})) AS raw "
+            f"FROM edges_d e JOIN s{p} s ON e.src = s.id GROUP BY 1),"
+        )
+        parts.append(
+            f"a{k} AS (SELECT v.id, "
+            f"coalesce(ar.raw, 0)/(SELECT an FROM n{k}) AS a "
+            f"FROM verts v LEFT JOIN ar{k} ar ON v.id = ar.id),"
+        )
+        parts.append(
+            f"h{k} AS (SELECT v.id, coalesce(hr.s, 0) AS h FROM verts v "
+            f"LEFT JOIN (SELECT e.src AS id, sum(a.a) AS s FROM edges_d e "
+            f"JOIN a{k} a ON e.dst = a.id GROUP BY 1) hr ON v.id = hr.id),"
+        )
+        parts.append(
+            f"s{k} AS (SELECT a.id, a.a, h.h FROM a{k} a "
+            f"JOIN h{k} h ON a.id = h.id),"
+        )
+    parts.append("fn AS (SELECT sqrt(sum(a*a)) AS an, sqrt(sum(h*h)) AS hn FROM s3)")
+    parts.append(
+        "SELECT id, round(a/(SELECT an FROM fn), 6) AS auth_r6, "
+        "round(h/(SELECT hn FROM fn), 6) AS hub_r6 FROM s3"
+    )
+    return "\n".join(parts)
+
+
+def q51_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 family: 3-core membership + in-core degree (plans/kcore.py —
+    frontier-driven peeling; fixed-round SQL unroll agrees at/after the
+    fixpoint because post-fixpoint rounds are identity)."""
+    from pybiodatafuse_spark.plans.kcore import k_core
+
+    e = _derived_edges(spark, sf_dir)
+    return k_core(spark, e, k=3, max_rounds=8).select("id", "core_deg")
+
+
+def _kcore3_sql() -> str:
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        "sym AS (SELECT src, dst FROM edges_d UNION "
+        "SELECT dst, src FROM edges_d),",
+        "d0 AS (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY 1),",
+    ]
+    for r in range(1, 9):
+        p = r - 1
+        parts.append(f"f{r} AS (SELECT id FROM d{p} WHERE deg < 3),")
+        parts.append(
+            f"dec{r} AS (SELECT s.dst AS id, count(*)::BIGINT AS c FROM sym s "
+            f"JOIN f{r} f ON s.src = f.id GROUP BY 1),"
+        )
+        parts.append(
+            f"d{r} AS (SELECT d.id, d.deg - coalesce(c.c, 0) AS deg "
+            f"FROM d{p} d LEFT JOIN dec{r} c ON d.id = c.id WHERE d.deg >= 3),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("SELECT id, deg AS core_deg FROM d8 WHERE deg >= 3")
+    return "\n".join(parts)
+
+
+def q52_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph rollup (operators/hostgraph.py): deterministic page URLs
+    synthesized over the derived vertex space, host extracted by the shared
+    regexp, page edges collapsed to (src_host, dst_host) with summed weight
+    and distinct-source-page counts."""
+    from pybiodatafuse_spark.operators.hostgraph import host_graph
+
+    e = _derived_edges(spark, sf_dir)
+
+    def url(c: str):
+        return F.concat(
+            F.lit("http://host-"),
+            (F.col(c) % 13).cast("string"),
+            F.lit(".example/p/"),
+            F.col(c).cast("string"),
+        )
+
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .withColumn("url", url("id"))
+    )
+    hg = host_graph(e, verts)
+    return hg.select(
+        "src_host",
+        "dst_host",
+        F.col("weight").cast("double").alias("weight"),
+        F.col("n_src_pages").cast("long").alias("n_src_pages"),
+    )
+
+
+def _host_rollup_sql() -> str:
+    from pybiodatafuse_spark.operators.hostgraph import _HOST_RE
+
+    return f"""
+WITH edges_d AS ({_EDGES_SQL}),
+verts AS ({_VERTS_SQL}),
+v AS (
+  SELECT id, host FROM (
+    SELECT id, NULLIF(lower(regexp_extract(
+      'http://host-' || (id % 13)::VARCHAR || '.example/p/' || id::VARCHAR,
+      '{_HOST_RE}', 1)), '') AS host
+    FROM verts
+  ) WHERE host IS NOT NULL
+)
+SELECT vs.host AS src_host, vd.host AS dst_host,
+       sum(1.0::DOUBLE)::DOUBLE AS weight,
+       count(DISTINCT e.src)::BIGINT AS n_src_pages
+FROM edges_d e
+JOIN v vs ON e.src = vs.id
+JOIN v vd ON e.dst = vd.id
+GROUP BY 1, 2
+"""
+
+
+def q53_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, 5 fixed supersteps: teleport + dangling mass
+    restricted to the seed set (ids ≡ 0 mod 7) — plans/pagerank.py
+    ``reset=`` path."""
+    from pybiodatafuse_spark.plans.pagerank import pagerank
+
+    e = _derived_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .where(F.col("id") % 7 == 0)
+    )
+    res = pagerank(
+        spark, e, tol=None, max_iter=5, hub_threshold=50, num_salts=4, reset=seeds
+    )
+    return res.state.select("id", F.round(F.col("rank"), 6).alias("rank_r6"))
+
+
+def _ppr5_sql() -> str:
+    d = 0.85
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        f"verts AS ({_VERTS_SQL}),",
+        "outd AS (SELECT src AS id, count(*) AS od FROM edges_d GROUP BY 1),",
+        "seeds AS (SELECT id FROM verts WHERE id % 7 = 0),",
+        "nsd AS (SELECT count(*)::DOUBLE AS ns FROM seeds),",
+        "r0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL "
+        "THEN 1.0/(SELECT ns FROM nsd) ELSE 0.0 END AS r "
+        "FROM verts v LEFT JOIN seeds s ON v.id = s.id),",
+    ]
+    for k in range(5):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.r), 0) AS m FROM r{k} r "
+            f"LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL),"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(r.r / o.od) AS c FROM edges_d e "
+            f"JOIN r{k} r ON e.src = r.id JOIN outd o ON e.src = o.id GROUP BY 1),"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN "
+            f"(1 - {d})/(SELECT ns FROM nsd) + "
+            f"{d} * (SELECT m FROM d{k}) / (SELECT ns FROM nsd) "
+            f"ELSE 0.0 END + {d} * coalesce(c.c, 0) AS r "
+            f"FROM verts v LEFT JOIN seeds s ON v.id = s.id "
+            f"LEFT JOIN c{k} c ON v.id = c.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append("SELECT id, round(r, 6) AS rank_r6 FROM r5")
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1443,6 +1643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_near_dup_clusters": q46_near_dup_clusters,
         "q47_prediction_metrics": q47_prediction_metrics,
         "q49_shacl_shapes": q49_shacl_shapes,
+        "q50_hits3": q50_hits3,
+        "q51_kcore3": q51_kcore3,
+        "q52_host_rollup": q52_host_rollup,
+        "q53_ppr5": q53_ppr5,
     }
 
 
@@ -1683,4 +1887,8 @@ def oracle_sql() -> dict[str, str]:
         "q44_biased_walks": _biased_walks_sql(),
         "q48_node2vec_walks": _node2vec_walks_sql(),
         "q49_shacl_shapes": _shacl_sql(),
+        "q50_hits3": _hits3_sql(),
+        "q51_kcore3": _kcore3_sql(),
+        "q52_host_rollup": _host_rollup_sql(),
+        "q53_ppr5": _ppr5_sql(),
     }

@@ -126,6 +126,7 @@ def pagerank(
     checkpoint_every: int = 5,
     shuffle_partitions: int | None = None,
     resume: bool = False,
+    reset: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id, rank, prev_rank, ...)``.
 
@@ -133,23 +134,52 @@ def pagerank(
     to edge endpoints). Ranks sum to 1. With ``resume=True`` (requires
     storage + run_id), restarts from the last committed checkpoint snapshot
     (north rule: any run resumable from its last checkpoint).
+
+    ``reset``: optional seed set ``(id, ...)`` → PERSONALIZED PageRank: the
+    teleport vector is uniform over the seeds instead of all vertices, and
+    dangling mass likewise returns to the seeds. ``rank_0 = 1/|S|`` on seeds,
+    0 elsewhere. The uniform path (``reset=None``) keeps its exact per-row
+    expression shape (no extra conditional in the hot superstep).
     """
     edges_norm, init, salted = _prepare(
         edges, vertices, num_salts, hub_threshold, shuffle_partitions
     )
-    counts = init.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("is_dangling").cast("long")).alias("nd"),
-    ).first()
-    n, n_dangling = counts["n"], counts["nd"] or 0
+    ppr = reset is not None
+    if ppr:
+        seeds = (
+            reset.select("id").dropDuplicates(["id"]).withColumn("_seed", F.lit(True))
+        )
+        init = (
+            init.join(seeds, "id", "left")
+            .withColumn("is_seed", F.coalesce(F.col("_seed"), F.lit(False)))
+            .drop("_seed")
+        )
+        counts = init.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_seed").cast("long")).alias("ns"),
+            F.sum((F.col("is_dangling") & F.col("is_seed")).cast("long")).alias("nds"),
+        ).first()
+        n, n_seeds, nd_seed = counts["n"], counts["ns"] or 0, counts["nds"] or 0
+        if n_seeds == 0:
+            raise ValueError("pagerank: reset seed set is empty or disjoint")
+    else:
+        counts = init.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_dangling").cast("long")).alias("nd"),
+        ).first()
+        n, n_dangling = counts["n"], counts["nd"] or 0
     if n == 0:
         raise ValueError("pagerank: empty vertex set")
+    state_cols = ["is_dangling", "is_hub"] + (["is_seed"] if ppr else [])
+    if ppr:
+        rank0 = F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    else:
+        rank0 = F.lit(1.0 / n)
     state0 = init.select(
         "id",
-        F.lit(1.0 / n).alias("rank"),
+        rank0.alias("rank"),
         F.lit(0.0).alias("prev_rank"),
-        "is_dangling",
-        "is_hub",
+        *state_cols,
     )
     salts = F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")
 
@@ -160,7 +190,11 @@ def pagerank(
         dangling_mass = carry.get("_dangling")
         if dangling_mass is None:
             if k <= 1:
-                dangling_mass = n_dangling / n  # uniform init: 1/n per dangling vertex
+                # closed form on the known init: uniform → 1/n per dangling
+                # vertex; PPR → 1/|S| per dangling SEED, 0 elsewhere
+                dangling_mass = (
+                    nd_seed / n_seeds if ppr else n_dangling / n
+                )
             else:  # resumed from checkpoint: one-off recompute from state
                 row = state.where("is_dangling").agg(F.sum("rank").alias("m")).first()
                 dangling_mass = row["m"] if row and row["m"] is not None else 0.0
@@ -195,17 +229,24 @@ def pagerank(
             .withColumnRenamed("dst", "id")
             .hint("shuffle_hash")
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
+        if ppr:
+            # teleport + dangling mass return only to the seed set
+            base_seed = (1.0 - damping) / n_seeds + damping * dangling_mass / n_seeds
+            base_expr = F.when(F.col("is_seed"), F.lit(base_seed)).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            base = (1.0 - damping) / n + damping * dangling_mass / n
+            base_expr = F.lit(base)
         new_state = (
             state.join(contribs, "id", "left")
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                (base_expr + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
                     "rank"
                 ),
                 F.col("rank").alias("prev_rank"),
-                "is_dangling",
-                "is_hub",
+                *state_cols,
             )
         )
         delta = F.sum(F.abs(F.col("rank") - F.col("prev_rank")))

@@ -119,3 +119,91 @@ def triangles_oracle(
                         per[u] += 1
                         per[w] += 1
     return total, per
+
+
+def hits_oracle(
+    edges: list[tuple[int, int]],
+    vertices: set[int],
+    max_iter: int = 20,
+) -> dict[int, tuple[float, float]]:
+    """HITS power iteration mirroring plans/hits.py exactly: semi-normalized
+    updates (divide by the PREVIOUS iteration's L2 norms), final exact L2
+    normalization. Returns {id: (auth, hub)}."""
+    import math
+
+    e = sorted(set((s, d) for s, d in edges))
+    in_adj: dict[int, list[int]] = defaultdict(list)
+    out_adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in e:
+        in_adj[d].append(s)
+        out_adj[s].append(d)
+    a = {v: 1.0 for v in vertices}
+    h = {v: 1.0 for v in vertices}
+    a_norm = h_norm = math.sqrt(len(vertices))
+    for _ in range(max_iter):
+        a_new = {
+            v: sum(h[u] / h_norm for u in in_adj.get(v, ())) / a_norm
+            for v in vertices
+        }
+        h_new = {v: sum(a_new[d] for d in out_adj.get(v, ())) for v in vertices}
+        a, h = a_new, h_new
+        a_norm = math.sqrt(sum(x * x for x in a.values())) or 1.0
+        h_norm = math.sqrt(sum(x * x for x in h.values())) or 1.0
+    an = math.sqrt(sum(x * x for x in a.values())) or 1.0
+    hn = math.sqrt(sum(x * x for x in h.values())) or 1.0
+    return {v: (a[v] / an, h[v] / hn) for v in vertices}
+
+
+def k_core_oracle(
+    edges: list[tuple[int, int]], k: int
+) -> dict[int, int]:
+    """Iterative peeling on the undirected simple graph; returns
+    {surviving id: degree within the k-core}."""
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    alive = set(nbrs)
+    while True:
+        doomed = {v for v in alive if len(nbrs[v] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return {v: len(nbrs[v] & alive) for v in alive}
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: set[int],
+    seeds: set[int],
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float | None = None,
+) -> dict[int, float]:
+    """Personalized PageRank mirroring plans/pagerank.py reset= semantics:
+    teleport AND dangling mass uniform over the seed set; rank0 = reset."""
+    ns = len(seeds)
+    out_w: dict[int, float] = defaultdict(float)
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for s, d, w in edges:
+        out_w[s] += w
+        adj[s].append((d, w))
+    rank = {v: (1.0 / ns if v in seeds else 0.0) for v in vertices}
+    for _ in range(max_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out_w)
+        contrib: dict[int, float] = defaultdict(float)
+        for s, nbl in adj.items():
+            rs = rank[s] / out_w[s]
+            for d, w in nbl:
+                contrib[d] += rs * w
+        base = (1.0 - damping) / ns + damping * dangling / ns
+        new = {
+            v: (base if v in seeds else 0.0) + damping * contrib.get(v, 0.0)
+            for v in vertices
+        }
+        delta = sum(abs(new[v] - rank[v]) for v in vertices)
+        rank = new
+        if tol is not None and delta < tol:
+            break
+    return rank
