@@ -1576,6 +1576,262 @@ def _ppr5_sql() -> str:
     return "\n".join(parts)
 
 
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparsified derived edge table for the directed-reachability gates:
+    the full mod-211 graph is one giant SCC (trivial decomposition), so keep
+    a deterministic ~9% subset that yields CORE/OUT/OTHER structure."""
+    e = _derived_edges(spark, sf_dir)
+    return e.where((F.col("src") * 31 + F.col("dst")) % 11 == 0)
+
+
+_SPARSE_EDGES_SQL = (
+    f"SELECT * FROM (\n{_EDGES_SQL}\n) WHERE (src*31 + dst) % 11 = 0"
+)
+
+
+def q54_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (FW-BW-Trim coloring, plans/scc.py) —
+    scc = min vertex id in the component; oracle = recursive-CTE mutual
+    reachability. Runs on the sparsified edge subset so the SCC structure is
+    non-trivial (giant core + singletons)."""
+    from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+    e = _sparse_edges(spark, sf_dir)
+    return strongly_connected_components(spark, e).select("id", "scc")
+
+
+def q55_bfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from seed set (ids ≡ 0 mod 7) along
+    edge direction; reached vertices only."""
+    from pybiodatafuse_spark.plans.bfs import bfs_distances
+
+    e = _derived_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .where(F.col("id") % 7 == 0)
+    )
+    return bfs_distances(spark, e, seeds).select("id", "dist")
+
+
+def q56_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph (reuses the degree-ordered triangle plan)."""
+    from pybiodatafuse_spark.operators.graphstats import clustering_coefficients
+
+    e = _derived_edges(spark, sf_dir)
+    return clustering_coefficients(spark, e).select(
+        "id", "deg", "triangles", F.round("coeff", 6).alias("coeff_r6")
+    )
+
+
+def q57_neighborhood3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-hop neighborhood function N(v,3) (self included). The HLL
+    scale path (plans/bfs.anf_hll) is accuracy-tested against this exact
+    operator in tests/test_scc_bfs_stats.py."""
+    from pybiodatafuse_spark.plans.bfs import neighborhood_sizes
+
+    e = _derived_edges(spark, sf_dir)
+    return neighborhood_sizes(spark, e, hops=3).select("id", "n_within")
+
+
+def q58_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap link scores: common neighbors / Jaccard /
+    Adamic-Adar / resource-allocation for co-neighbor pairs."""
+    from pybiodatafuse_spark.operators.graphstats import neighbor_overlap_scores
+
+    e = _derived_edges(spark, sf_dir)
+    return neighbor_overlap_scores(spark, e).select(
+        "a",
+        "b",
+        "common",
+        F.round("jaccard", 6).alias("jaccard_r6"),
+        F.round("adamic_adar", 6).alias("adamic_adar_r6"),
+        F.round("resource_alloc", 6).alias("resource_alloc_r6"),
+    )
+
+
+def q59_graph_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary: density, reciprocity, degree
+    assortativity (Pearson r of (out-deg(src), in-deg(dst)) across edges)."""
+    from pybiodatafuse_spark.operators.graphstats import graph_scalars
+
+    e = _derived_edges(spark, sf_dir)
+    return graph_scalars(spark, e).select(
+        "n_vertices",
+        "n_edges",
+        F.round("density", 6).alias("density_r6"),
+        F.round("reciprocity", 6).alias("reciprocity_r6"),
+        F.round("assortativity", 6).alias("assortativity_r6"),
+    )
+
+
+def q60_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder WWW'00): per-class vertex counts with
+    CORE = largest SCC (ties → min scc id), IN/OUT by reachability."""
+    from pybiodatafuse_spark.plans.scc import bowtie_decomposition
+
+    e = _sparse_edges(spark, sf_dir)
+    return (
+        bowtie_decomposition(spark, e)
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_REACH_SQL = """reach(a, b) AS (
+    SELECT src, dst FROM edges_d
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges_d e ON r.b = e.src
+)"""
+
+_SCC_SQL = """mutual AS (
+    SELECT r1.a AS v, r1.b AS u FROM reach r1
+    JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc_t AS (
+    SELECT v.id, least(v.id, coalesce(min(m.u), v.id)) AS scc
+    FROM verts v LEFT JOIN mutual m ON v.id = m.v
+    GROUP BY v.id
+)"""
+
+
+# explicit-DISTINCT vertex set: under WITH RECURSIVE DuckDB does not dedup
+# the plain UNION form of _VERTS_SQL
+_SPARSE_VERTS_SQL = (
+    "SELECT DISTINCT id FROM ("
+    "SELECT src AS id FROM edges_d UNION ALL SELECT dst FROM edges_d)"
+)
+
+
+def _scc_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_SPARSE_EDGES_SQL}),\n"
+        f"verts AS ({_SPARSE_VERTS_SQL}),\n{_REACH_SQL},\n{_SCC_SQL}\n"
+        "SELECT id, scc FROM scc_t"
+    )
+
+
+def _bfs_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_EDGES_SQL}),\n"
+        f"verts AS ({_VERTS_SQL}),\n"
+        "seeds AS (SELECT id FROM verts WHERE id % 7 = 0),\n"
+        "walk(id, d) AS (\n"
+        "  SELECT id, 0::BIGINT FROM seeds\n"
+        "  UNION\n"
+        "  SELECT e.dst, w.d + 1 FROM walk w JOIN edges_d e ON w.id = e.src\n"
+        "  WHERE w.d < 300\n"
+        ")\n"
+        "SELECT id, min(d)::BIGINT AS dist FROM walk GROUP BY id"
+    )
+
+
+_UND_SQL = """ud AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges_d WHERE src <> dst
+),
+nb AS (SELECT a AS c, b AS l FROM ud UNION ALL SELECT b, a FROM ud),
+udeg AS (SELECT c AS v, count(*) AS deg FROM nb GROUP BY c)"""
+
+
+def _clustering_sql() -> str:
+    return f"""WITH edges_d AS ({_EDGES_SQL}),
+{_UND_SQL},
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ud e1 JOIN ud e2 ON e1.b = e2.a
+    JOIN ud e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT v, count(*) AS t FROM tv GROUP BY v)
+SELECT d.v AS id, d.deg::BIGINT AS deg, coalesce(tc.t, 0)::BIGINT AS triangles,
+       round(CASE WHEN d.deg < 2 THEN 0.0
+             ELSE 2.0 * coalesce(tc.t, 0) / (d.deg * (d.deg - 1.0)) END, 6) AS coeff_r6
+FROM udeg d LEFT JOIN tc ON d.v = tc.v"""
+
+
+def _neighborhood3_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_EDGES_SQL}),\n"
+        f"verts AS ({_VERTS_SQL}),\n"
+        "r(a, b, d) AS (\n"
+        "  SELECT id, id, 0 FROM verts\n"
+        "  UNION\n"
+        "  SELECT r.a, e.dst, r.d + 1 FROM r JOIN edges_d e ON r.b = e.src\n"
+        "  WHERE r.d < 3\n"
+        ")\n"
+        "SELECT a AS id, count(DISTINCT b)::BIGINT AS n_within FROM r GROUP BY a"
+    )
+
+
+def _adamic_adar_sql() -> str:
+    return f"""WITH edges_d AS ({_EDGES_SQL}),
+{_UND_SQL},
+wed AS (
+    SELECT l1.l AS a, l2.l AS b, d.deg AS deg
+    FROM nb l1 JOIN nb l2 ON l1.c = l2.c AND l1.l < l2.l
+    JOIN udeg d ON d.v = l1.c
+),
+sc AS (
+    SELECT a, b, count(*)::BIGINT AS common,
+           sum(1.0 / ln(deg)) AS aa, sum(1.0 / deg) AS ra
+    FROM wed GROUP BY a, b
+)
+SELECT sc.a, sc.b, sc.common,
+       round(sc.common / (da.deg + db.deg - sc.common), 6) AS jaccard_r6,
+       round(sc.aa, 6) AS adamic_adar_r6,
+       round(sc.ra, 6) AS resource_alloc_r6
+FROM sc JOIN udeg da ON da.v = sc.a JOIN udeg db ON db.v = sc.b"""
+
+
+def _graph_scalars_sql() -> str:
+    return f"""WITH edges_d AS ({_EDGES_SQL}),
+verts AS ({_VERTS_SQL}),
+nv AS (SELECT count(*)::BIGINT AS n FROM verts),
+ne AS (SELECT count(*)::BIGINT AS n FROM edges_d),
+outd AS (SELECT src AS id, count(*) AS od FROM edges_d GROUP BY 1),
+ind AS (SELECT dst AS id, count(*) AS idg FROM edges_d GROUP BY 1),
+recip AS (
+    SELECT count(*)::DOUBLE AS r FROM edges_d e
+    WHERE EXISTS (SELECT 1 FROM edges_d x WHERE x.src = e.dst AND x.dst = e.src)
+),
+pe AS (
+    SELECT o.od::DOUBLE AS od, i.idg::DOUBLE AS idg
+    FROM edges_d e JOIN outd o ON e.src = o.id JOIN ind i ON e.dst = i.id
+)
+SELECT (SELECT n FROM nv) AS n_vertices,
+       (SELECT n FROM ne) AS n_edges,
+       round((SELECT n FROM ne)::DOUBLE / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1)), 6) AS density_r6,
+       round((SELECT r FROM recip) / (SELECT n FROM ne), 6) AS reciprocity_r6,
+       round((SELECT corr(od, idg) FROM pe), 6) AS assortativity_r6"""
+
+
+def _bowtie_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_SPARSE_EDGES_SQL}),\n"
+        f"verts AS ({_SPARSE_VERTS_SQL}),\n{_REACH_SQL},\n{_SCC_SQL},\n"
+        "core_pick AS (\n"
+        "  SELECT scc FROM scc_t GROUP BY scc ORDER BY count(*) DESC, scc ASC LIMIT 1\n"
+        "),\n"
+        "core AS (SELECT id FROM scc_t WHERE scc = (SELECT scc FROM core_pick)),\n"
+        "cls_t AS (\n"
+        # DISTINCT: under WITH RECURSIVE DuckDB does not dedup the plain
+        # UNION in the verts CTE (observed 2x|E| rows), so dedup here
+        "  SELECT DISTINCT v.id,\n"
+        "    CASE WHEN v.id IN (SELECT id FROM core) THEN 'CORE'\n"
+        "         WHEN EXISTS (SELECT 1 FROM reach r JOIN core c ON r.b = c.id WHERE r.a = v.id) THEN 'IN'\n"
+        "         WHEN EXISTS (SELECT 1 FROM reach r JOIN core c ON r.a = c.id WHERE r.b = v.id) THEN 'OUT'\n"
+        "         ELSE 'OTHER' END AS cls\n"
+        "  FROM verts v\n"
+        ")\n"
+        "SELECT cls, count(*)::BIGINT AS n FROM cls_t GROUP BY cls"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1647,6 +1903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_kcore3": q51_kcore3,
         "q52_host_rollup": q52_host_rollup,
         "q53_ppr5": q53_ppr5,
+        "q54_scc": q54_scc,
+        "q55_bfs_seeds": q55_bfs_seeds,
+        "q56_clustering": q56_clustering,
+        "q57_neighborhood3": q57_neighborhood3,
+        "q58_adamic_adar": q58_adamic_adar,
+        "q59_graph_scalars": q59_graph_scalars,
+        "q60_bowtie": q60_bowtie,
     }
 
 
@@ -1891,4 +2154,11 @@ def oracle_sql() -> dict[str, str]:
         "q51_kcore3": _kcore3_sql(),
         "q52_host_rollup": _host_rollup_sql(),
         "q53_ppr5": _ppr5_sql(),
+        "q54_scc": _scc_sql(),
+        "q55_bfs_seeds": _bfs_sql(),
+        "q56_clustering": _clustering_sql(),
+        "q57_neighborhood3": _neighborhood3_sql(),
+        "q58_adamic_adar": _adamic_adar_sql(),
+        "q59_graph_scalars": _graph_scalars_sql(),
+        "q60_bowtie": _bowtie_sql(),
     }

@@ -207,3 +207,173 @@ def ppr_oracle(
         if tol is not None and delta < tol:
             break
     return rank
+
+
+def scc_oracle(edges: list[tuple[int, int]], vertices: set[int]) -> dict[int, int]:
+    """Iterative Tarjan SCC; returns vertex -> min id in its SCC."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in sorted(vertices):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def bfs_oracle(
+    edges: list[tuple[int, int]], seeds: set[int], max_hops: int = 10**9
+) -> dict[int, int]:
+    """Multi-source BFS hop distance along edge direction; reached only."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    h = 0
+    while frontier and h < max_hops:
+        h += 1
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = h
+                    nxt.add(w)
+        frontier = nxt
+    return dist
+
+
+def neighborhood_oracle(
+    edges: list[tuple[int, int]], vertices: set[int], hops: int
+) -> dict[int, int]:
+    """Exact |{u : dist(v,u) <= hops}| (self included) per vertex."""
+    return {
+        v: len(bfs_oracle(edges, {v}, max_hops=hops)) for v in vertices
+    }
+
+
+def clustering_oracle(
+    edges: list[tuple[int, int]], vertices: set[int]
+) -> dict[int, tuple[int, int, float]]:
+    """(deg, triangles, coeff) per vertex over the undirected simple graph."""
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    for v in vertices:
+        ns = nbrs.get(v, set())
+        deg = len(ns)
+        tri = 0
+        for a in ns:
+            tri += len(nbrs[a] & ns)
+        tri //= 2
+        coeff = 0.0 if deg < 2 else 2.0 * tri / (deg * (deg - 1))
+        out[v] = (deg, tri, coeff)
+    return out
+
+
+def overlap_oracle(
+    edges: list[tuple[int, int]]
+) -> dict[tuple[int, int], tuple[int, float, float, float]]:
+    """(common, jaccard, adamic_adar, resource_alloc) for unordered pairs
+    with >=1 common undirected neighbor."""
+    import math
+
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out: dict[tuple[int, int], tuple[int, float, float, float]] = {}
+    verts = sorted(nbrs)
+    for w in verts:
+        ns = sorted(nbrs[w])
+        degw = len(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                a, b = ns[i], ns[j]
+                key = (a, b)
+                c, _, aa, ra = out.get(key, (0, 0.0, 0.0, 0.0))
+                out[key] = (
+                    c + 1,
+                    0.0,
+                    aa + 1.0 / math.log(degw),
+                    ra + 1.0 / degw,
+                )
+    final = {}
+    for (a, b), (c, _, aa, ra) in out.items():
+        union = len(nbrs[a] | nbrs[b])
+        final[(a, b)] = (c, c / union, aa, ra)
+    return final
+
+
+def bowtie_oracle(
+    edges: list[tuple[int, int]], vertices: set[int]
+) -> dict[int, str]:
+    comp = scc_oracle(edges, vertices)
+    sizes: dict[int, int] = defaultdict(int)
+    for v in vertices:
+        sizes[comp.get(v, v)] += 1
+    core_id = min(
+        (s for s in sizes), key=lambda s: (-sizes[s], s)
+    )
+    core = {v for v in vertices if comp.get(v, v) == core_id}
+    fwd = set(bfs_oracle([(s, d) for s, d in edges], core))
+    bwd = set(bfs_oracle([(d, s) for s, d in edges], core))
+    out = {}
+    for v in vertices:
+        if v in core:
+            out[v] = "CORE"
+        elif v in bwd:
+            out[v] = "IN"
+        elif v in fwd:
+            out[v] = "OUT"
+        else:
+            out[v] = "OTHER"
+    return out

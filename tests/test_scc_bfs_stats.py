@@ -1,0 +1,209 @@
+"""SCC / bow-tie / BFS / ANF / clustering / overlap / scalars vs pure-Python
+oracles on the deterministic 400-page link graph plus adversarial small
+graphs (nested SCC layers, cycles with tails)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.graph_fixture import id_maps, oracle_edges, spark_graph
+from tests.oracles import (
+    bfs_oracle,
+    bowtie_oracle,
+    clustering_oracle,
+    neighborhood_oracle,
+    overlap_oracle,
+    scc_oracle,
+)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def graph(spark, pages_df):
+    verts, edges = spark_graph(pages_df)
+    edges = edges.cache()
+    verts = verts.cache()
+    edges.count()
+    _, page_to_id = id_maps(verts)
+    return verts, edges, page_to_id
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long"
+    )
+
+
+def test_scc_fixture_graph(spark, graph):
+    from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+    verts, edges, page_to_id = graph
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(spark, edges, verts).collect()
+    }
+    oe = [(s, d) for s, d, _ in oracle_edges(N, page_to_id)]
+    vs = set(page_to_id.values())
+    want = scc_oracle(oe, vs)
+    assert got == {v: want.get(v, v) for v in vs}
+
+
+def test_scc_adversarial_layers(spark):
+    # two nested cycles bridged one-way + a chain tail: forces >1 outer round
+    from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+    pairs = [
+        (1, 2), (2, 3), (3, 1),          # SCC {1,2,3}
+        (3, 4),                           # bridge
+        (4, 5), (5, 6), (6, 4),           # SCC {4,5,6}
+        (6, 7), (7, 8),                   # tail singletons
+        (9, 9),                           # self loop (ignored), isolated
+        (10, 11), (11, 10), (11, 12), (12, 13), (13, 11),  # SCC {10..13}
+    ]
+    e = _edge_df(spark, pairs)
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(spark, e).collect()
+    }
+    vs = {v for p in pairs for v in p}
+    want = scc_oracle([(s, d) for s, d in pairs if s != d], vs)
+    assert got == {v: want.get(v, v) for v in vs}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6] == 4
+    assert got[10] == got[11] == got[12] == got[13] == 10
+    assert got[7] == 7 and got[8] == 8 and got[9] == 9
+
+
+def test_bowtie(spark):
+    from pybiodatafuse_spark.plans.scc import bowtie_decomposition
+
+    # IN (0) -> CORE {1,2,3} -> OUT (4,5); disconnected 6<->7 smaller SCC
+    pairs = [
+        (0, 1), (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (7, 6),
+    ]
+    e = _edge_df(spark, pairs)
+    got = {r["id"]: r["cls"] for r in bowtie_decomposition(spark, e).collect()}
+    want = bowtie_oracle(pairs, {v for p in pairs for v in p})
+    assert got == want
+    assert got[0] == "IN" and got[1] == "CORE" and got[5] == "OUT"
+    assert got[6] == "OTHER"
+
+
+def test_bfs_distances(spark, graph):
+    from pybiodatafuse_spark.plans.bfs import bfs_distances
+
+    verts, edges, page_to_id = graph
+    seed_ids = sorted(page_to_id.values())[:5]
+    seeds = spark.createDataFrame([(int(s),) for s in seed_ids], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(spark, edges, seeds).collect()
+    }
+    oe = [(s, d) for s, d, _ in oracle_edges(N, page_to_id)]
+    want = bfs_oracle(oe, set(seed_ids))
+    assert got == want
+
+
+def test_neighborhood_exact_vs_oracle(spark, graph):
+    from pybiodatafuse_spark.plans.bfs import neighborhood_sizes
+
+    verts, edges, page_to_id = graph
+    got = {
+        r["id"]: r["n_within"]
+        for r in neighborhood_sizes(spark, edges, hops=3).collect()
+    }
+    oe = [(s, d) for s, d, _ in oracle_edges(N, page_to_id)]
+    vs = {v for p in oe for v in p}
+    want = neighborhood_oracle(oe, vs, 3)
+    assert got == want
+
+
+def test_anf_hll_accuracy(spark, graph):
+    from pybiodatafuse_spark.plans.bfs import anf_hll, neighborhood_sizes
+
+    verts, edges, page_to_id = graph
+    exact = {
+        r["id"]: r["n_within"]
+        for r in neighborhood_sizes(spark, edges, hops=3).collect()
+    }
+    est = {
+        r["id"]: r["n_est"] for r in anf_hll(spark, edges, hops=3, lgk=12).collect()
+    }
+    assert set(est) == set(exact)
+    # HLL lgk=12 has ~1.6% relative stddev; allow 10% + absolute slack 2
+    for v, n in exact.items():
+        assert abs(est[v] - n) <= max(2.0, 0.10 * n), (v, n, est[v])
+    # totals within 5%
+    t_exact = sum(exact.values())
+    t_est = sum(est.values())
+    assert abs(t_est - t_exact) / t_exact < 0.05
+
+
+def test_effective_diameter_monotone(spark, graph):
+    from pybiodatafuse_spark.plans.bfs import effective_diameter
+
+    verts, edges, _ = graph
+    h_eff, totals = effective_diameter(spark, edges, quantile=0.9, max_hops=12)
+    assert 1 <= h_eff <= len(totals)
+    assert all(b >= a * 0.999 for a, b in zip(totals, totals[1:]))
+
+
+def test_clustering_coefficients(spark, graph):
+    from pybiodatafuse_spark.operators.graphstats import clustering_coefficients
+
+    verts, edges, page_to_id = graph
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["coeff"])
+        for r in clustering_coefficients(spark, edges).collect()
+    }
+    oe = [(s, d) for s, d, _ in oracle_edges(N, page_to_id)]
+    vs = {v for p in oe for v in p}
+    want = clustering_oracle(oe, vs)
+    assert set(got) == set(want)
+    for v, (deg, tri, coeff) in want.items():
+        assert got[v][0] == deg and got[v][1] == tri
+        assert got[v][2] == pytest.approx(coeff, abs=1e-12)
+
+
+def test_neighbor_overlap_scores(spark):
+    from pybiodatafuse_spark.operators.graphstats import neighbor_overlap_scores
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 1), (5, 2)]
+    e = _edge_df(spark, pairs)
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"], r["adamic_adar"], r["resource_alloc"])
+        for r in neighbor_overlap_scores(spark, e).collect()
+    }
+    want = overlap_oracle(pairs)
+    assert set(got) == set(want)
+    for k, (c, j, aa, ra) in want.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(j, abs=1e-12)
+        assert got[k][2] == pytest.approx(aa, abs=1e-12)
+        assert got[k][3] == pytest.approx(ra, abs=1e-12)
+
+
+def test_graph_scalars(spark):
+    from pybiodatafuse_spark.operators.graphstats import graph_scalars
+
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 4), (4, 2)]
+    e = _edge_df(spark, pairs)
+    row = graph_scalars(spark, e).first()
+    assert row["n_vertices"] == 4 and row["n_edges"] == 6
+    assert row["density"] == pytest.approx(6 / 12, abs=1e-12)
+    assert row["reciprocity"] == pytest.approx(2 / 6, abs=1e-12)
+    # oracle assortativity: Pearson corr of (outdeg(src), indeg(dst)) per edge
+    outd = {1: 2, 2: 2, 3: 1, 4: 1}
+    ind = {1: 2, 2: 2, 3: 1, 4: 1}
+    xs = [outd[s] for s, d in pairs]
+    ys = [ind[d] for s, d in pairs]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs) / n)
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys) / n)
+    assert row["assortativity"] == pytest.approx(cov / (sx * sy), abs=1e-12)
