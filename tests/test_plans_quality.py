@@ -180,3 +180,76 @@ def test_walk_adjacency_side_never_reshuffles(spark):
     edge_branch = "\n".join(lines[start_i:scan_i])
     assert "Exchange" not in edge_branch, plan
     adj.unpersist()
+
+
+def _no_exchange_above_cache_scan(plan: str) -> None:
+    lines = plan.splitlines()
+    scan_i = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    start_i = next(
+        i for i in range(scan_i, -1, -1) if lines[i].lstrip().startswith("+- ")
+        and len(lines[i]) - len(lines[i].lstrip()) <= 3
+    )
+    assert "Exchange" not in "\n".join(lines[start_i:scan_i]), plan
+
+
+def test_scc_inner_loops_never_reshuffle_edges(spark):
+    """Both SCC inner loops (forward coloring joins on src, backward settle
+    joins on dst) must read their pinned edge copy straight from cache with
+    no Exchange — per-superstep shuffle is O(active labels), not O(E)."""
+    from pybiodatafuse_spark.plans.scc import _pin
+
+    edges = spark.createDataFrame(
+        [(i, (i + 7) % 80, ) for i in range(80)], "src long, dst long"
+    )
+    e_src = _pin(edges, "src")
+    e_dst = _pin(edges, "dst")
+    labels = spark.range(80).select("id", F.col("id").alias("f"))
+    fwd = labels.hint("shuffle_hash").join(e_src, labels["id"] == e_src["src"])
+    fwd.count()
+    _no_exchange_above_cache_scan(_plan(fwd))
+    bwd = labels.hint("shuffle_hash").join(e_dst, labels["id"] == e_dst["dst"])
+    bwd.count()
+    _no_exchange_above_cache_scan(_plan(bwd))
+    e_src.unpersist()
+    e_dst.unpersist()
+
+
+def test_bfs_frontier_join_never_reshuffles_edges(spark):
+    from pybiodatafuse_spark.plans.bfs import _pin_edges
+
+    edges = spark.createDataFrame(
+        [(i, (i + 3) % 70) for i in range(70)], "src long, dst long"
+    )
+    e = _pin_edges(edges, "src")
+    frontier = spark.range(20).select("id")
+    j = frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
+    j.count()
+    _no_exchange_above_cache_scan(_plan(j))
+    e.unpersist()
+
+
+def test_anf_hll_union_is_partial_aggregated(spark):
+    """The ANF flood's hll_union_agg must run as a two-phase aggregate
+    (partial merge map-side before the shuffle): the executed plan has two
+    ObjectHashAggregate nodes for the union, so the shuffle carries one
+    sketch per (partition, src), not one per edge."""
+    from pybiodatafuse_spark.plans.bfs import _pin_edges
+
+    edges = spark.createDataFrame(
+        [(i, (i + 3) % 50) for i in range(50)], "src long, dst long"
+    )
+    e = _pin_edges(edges, "dst")
+    sk = spark.range(50).select("id").groupBy("id").agg(
+        F.hll_sketch_agg("id", F.lit(12)).alias("sk")
+    )
+    nbr = (
+        sk.hint("shuffle_hash")
+        .join(e, sk["id"] == e["dst"])
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.hll_union_agg("sk").alias("nbr_sk"))
+    )
+    nbr.count()
+    plan = _plan(nbr)
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+    assert "partial_hll_union_agg" in plan or "partial_hllunionagg" in plan.lower(), plan
+    e.unpersist()
