@@ -127,6 +127,7 @@ def pagerank(
     shuffle_partitions: int | None = None,
     resume: bool = False,
     reset: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult whose state is ``(id, rank, prev_rank, ...)``.
 
@@ -140,6 +141,13 @@ def pagerank(
     dangling mass likewise returns to the seeds. ``rank_0 = 1/|S|`` on seeds,
     0 elsewhere. The uniform path (``reset=None``) keeps its exact per-row
     expression shape (no extra conditional in the hot superstep).
+
+    ``init_ranks``: optional ``(id, rank)`` WARM START — e.g. yesterday's
+    converged ranks re-ranked over today's crawl delta. New vertices get the
+    uniform prior, then the whole vector is renormalized to sum 1; the
+    fixpoint is init-independent, so warm starts converge in a handful of
+    supersteps instead of O(50) (the incremental path a daily 10^12-page
+    snapshot needs). Incompatible with ``resume`` (checkpoint state wins).
     """
     edges_norm, init, salted = _prepare(
         edges, vertices, num_salts, hub_threshold, shuffle_partitions
@@ -175,12 +183,30 @@ def pagerank(
         rank0 = F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
     else:
         rank0 = F.lit(1.0 / n)
-    state0 = init.select(
-        "id",
-        rank0.alias("rank"),
-        F.lit(0.0).alias("prev_rank"),
-        *state_cols,
-    )
+    warm = init_ranks is not None and not resume
+    if warm:
+        prior = init_ranks.select(
+            "id", F.col("rank").cast("double").alias("_warm_rank")
+        ).dropDuplicates(["id"])
+        seeded = init.join(prior, "id", "left").withColumn(
+            "_raw", F.coalesce("_warm_rank", rank0)
+        )
+        total = seeded.agg(F.sum("_raw").alias("t")).first()["t"] or 0.0
+        if total <= 0.0:
+            raise ValueError("pagerank: init_ranks sums to a non-positive mass")
+        state0 = seeded.select(
+            "id",
+            (F.col("_raw") / F.lit(float(total))).alias("rank"),
+            F.lit(0.0).alias("prev_rank"),
+            *state_cols,
+        )
+    else:
+        state0 = init.select(
+            "id",
+            rank0.alias("rank"),
+            F.lit(0.0).alias("prev_rank"),
+            *state_cols,
+        )
     salts = F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")
 
     def step(state: DataFrame, k: int, carry: dict):
@@ -189,7 +215,7 @@ def pagerank(
         # (uniform init → n_dangling / n²... each dangling vertex holds 1/n).
         dangling_mass = carry.get("_dangling")
         if dangling_mass is None:
-            if k <= 1:
+            if k <= 1 and not warm:
                 # closed form on the known init: uniform → 1/n per dangling
                 # vertex; PPR → 1/|S| per dangling SEED, 0 elsewhere
                 dangling_mass = (

@@ -118,3 +118,40 @@ def test_checkpoint_resume_and_metrics(spark, graph, tmp_path):
         per_part.where("superstep = 6").agg(F.sum("rows_out").alias("s")).first()["s"]
     )
     assert total_rows == N  # per-partition lineage sums to the state size
+
+
+def test_warm_start_converges_fast_and_exact(spark, graph, converged):
+    """init_ranks = previous converged vector → re-convergence in a handful
+    of supersteps, same fixpoint (the incremental daily-snapshot path)."""
+    verts, edges, page_to_id = graph
+    res, got, truth = converged
+    prev = res.state.select("id", "rank")
+    warm = pagerank(
+        spark, edges, verts, tol=1e-6, max_iter=120, hub_threshold=5,
+        init_ranks=prev,
+    )
+    assert warm.supersteps <= 3, warm.supersteps  # cold run needs dozens
+    warm_got = {r["id"]: r["rank"] for r in warm.state.select("id", "rank").collect()}
+    assert _max_diff(warm_got, truth) < 1e-5
+
+
+def test_warm_start_with_new_vertices_matches_cold(spark, graph):
+    """Warm start over a GROWN graph (new edges + vertices vs the prior
+    vector) reaches the same fixpoint as a cold start."""
+    verts, edges, page_to_id = graph
+    base = pagerank(spark, edges, verts, tol=1e-8, max_iter=200, hub_threshold=5)
+    extra = spark.createDataFrame(
+        [(10_000_001, 10_000_002, 1.0, 1), (10_000_002, 10_000_001, 1.0, 1)],
+        "src long, dst long, weight double, etype int",
+    )
+    grown = edges.select("src", "dst", "weight", "etype").unionByName(extra)
+    cold = pagerank(spark, grown, tol=1e-8, max_iter=200, hub_threshold=5)
+    warmr = pagerank(
+        spark, grown, tol=1e-8, max_iter=200, hub_threshold=5,
+        init_ranks=base.state.select("id", "rank"),
+    )
+    cold_got = {r["id"]: r["rank"] for r in cold.state.collect()}
+    warm_got = {r["id"]: r["rank"] for r in warmr.state.collect()}
+    assert cold_got.keys() == warm_got.keys()
+    assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-6
+    assert warmr.supersteps < cold.supersteps
