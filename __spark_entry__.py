@@ -1680,6 +1680,23 @@ def q60_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality from seed sources (ids ≡ 0 mod 7) via one
+    labeled multi-origin BFS."""
+    from pybiodatafuse_spark.plans.bfs import harmonic_centrality
+
+    e = _derived_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+        .where(F.col("id") % 7 == 0)
+    )
+    return harmonic_centrality(spark, e, seeds).select(
+        "id", F.round("harmonic", 6).alias("harmonic_r6")
+    )
+
+
 _REACH_SQL = """reach(a, b) AS (
     SELECT src, dst FROM edges_d
     UNION
@@ -1786,6 +1803,22 @@ SELECT sc.a, sc.b, sc.common,
        round(sc.aa, 6) AS adamic_adar_r6,
        round(sc.ra, 6) AS resource_alloc_r6
 FROM sc JOIN udeg da ON da.v = sc.a JOIN udeg db ON db.v = sc.b"""
+
+
+def _harmonic_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_EDGES_SQL}),\n"
+        f"verts AS ({_VERTS_SQL}),\n"
+        "seeds AS (SELECT DISTINCT id FROM verts WHERE id % 7 = 0),\n"
+        "walk(s, id, d) AS (\n"
+        "  SELECT id, id, 0::BIGINT FROM seeds\n"
+        "  UNION\n"
+        "  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN edges_d e ON w.id = e.src\n"
+        "  WHERE w.d < 300\n"
+        "),\n"
+        "md AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)\n"
+        "SELECT id, round(sum(1.0 / d), 6) AS harmonic_r6 FROM md WHERE d > 0 GROUP BY id"
+    )
 
 
 def _graph_scalars_sql() -> str:
@@ -1910,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_adamic_adar": q58_adamic_adar,
         "q59_graph_scalars": q59_graph_scalars,
         "q60_bowtie": q60_bowtie,
+        "q61_harmonic": q61_harmonic,
     }
 
 
@@ -2161,4 +2195,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_adamic_adar": _adamic_adar_sql(),
         "q59_graph_scalars": _graph_scalars_sql(),
         "q60_bowtie": _bowtie_sql(),
+        "q61_harmonic": _harmonic_sql(),
     }

@@ -104,6 +104,53 @@ def bfs_distances(
         return reached
 
 
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_hops: int = 100,
+) -> DataFrame:
+    """Sampled harmonic centrality: ``h(v) = Σ_{s ∈ sources, s ≠ v,
+    s ⇝ v} 1 / dist(s, v)`` with distances measured along edge direction
+    from a seed sample (the standard estimator — exact when ``sources`` is
+    every vertex; at crawl scale pass a hash-mod sample and scale by the
+    sampling rate). Returns ``(id, harmonic)`` for vertices reached by ≥1
+    source.
+
+    One labeled multi-origin BFS: state = (s, id, dist) pairs, frontier =
+    pairs added last hop; the edge list is pinned on the join key once, so
+    each hop shuffles only the O(frontier) pair set.
+    """
+    with no_aqe(spark):
+        e = _pin_edges(edges, "src")
+        reached = _ckpt(
+            sources.select("id").dropDuplicates(["id"]).select(
+                F.col("id").alias("s"), F.col("id"), F.lit(0).cast("long").alias("dist")
+            )
+        )
+        frontier = reached
+        for h in range(1, max_hops + 1):
+            nxt = _ckpt(
+                frontier.hint("shuffle_hash")
+                .join(e, frontier["id"] == e["src"])
+                .select("s", F.col("dst").alias("id"))
+                .dropDuplicates(["s", "id"])
+                .join(reached.select("s", "id"), ["s", "id"], "left_anti")
+                .select("s", "id", F.lit(h).cast("long").alias("dist"))
+            )
+            if nxt.isEmpty():
+                break
+            reached = _ckpt(reached.unionByName(nxt))
+            frontier = nxt
+        e.unpersist()
+        return (
+            reached.where(F.col("dist") > 0)
+            .groupBy("id")
+            .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+        )
+
+
 def neighborhood_sizes(
     spark: SparkSession,
     edges: DataFrame,

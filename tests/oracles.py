@@ -377,3 +377,15 @@ def bowtie_oracle(
         else:
             out[v] = "OTHER"
     return out
+
+
+def harmonic_oracle(
+    edges: list[tuple[int, int]], sources: set[int]
+) -> dict[int, float]:
+    """h(v) = sum over sources s (s != v, s reaches v) of 1/dist(s, v)."""
+    out: dict[int, float] = defaultdict(float)
+    for s in sources:
+        for v, d in bfs_oracle(edges, {s}).items():
+            if d > 0:
+                out[v] += 1.0 / d
+    return dict(out)

@@ -207,3 +207,21 @@ def test_graph_scalars(spark):
     sx = math.sqrt(sum((x - mx) ** 2 for x in xs) / n)
     sy = math.sqrt(sum((y - my) ** 2 for y in ys) / n)
     assert row["assortativity"] == pytest.approx(cov / (sx * sy), abs=1e-12)
+
+
+def test_harmonic_centrality(spark, graph):
+    from pybiodatafuse_spark.plans.bfs import harmonic_centrality
+    from tests.oracles import harmonic_oracle
+
+    verts, edges, page_to_id = graph
+    seed_ids = sorted(page_to_id.values())[:7]
+    seeds = spark.createDataFrame([(int(s),) for s in seed_ids], "id long")
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, seeds).collect()
+    }
+    oe = [(s, d) for s, d, _ in oracle_edges(N, page_to_id)]
+    want = harmonic_oracle(oe, set(seed_ids))
+    assert set(got) == set(want)
+    for v, h in want.items():
+        assert got[v] == pytest.approx(h, abs=1e-9)
