@@ -1697,6 +1697,67 @@ def q61_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus documents sharing ≥2 distinct word
+    3-grams with a probe subset (doc_id ≡ 0 mod 50), with per-probe overlap
+    fraction. One shingle equi-join — never corpus × probes."""
+    from pybiodatafuse_spark.operators.dedup import contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(d, probes, n=3, min_shared=2).select(
+        "corpus_id",
+        "probe_id",
+        "shared_ngrams",
+        "probe_ngrams",
+        F.round("overlap", 6).alias("overlap_r6"),
+    )
+
+
+def q63_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix length statistics: exact interpolated token-count
+    percentiles (p50/p90/p99) per language."""
+    from pybiodatafuse_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    nt = d.select("lang", F.size(tokens(F.col("text"))).cast("double").alias("nt"))
+    return nt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("nt", F.lit(0.5)), 6).alias("p50_r6"),
+        F.round(F.percentile("nt", F.lit(0.9)), 6).alias("p90_r6"),
+        F.round(F.percentile("nt", F.lit(0.99)), 6).alias("p99_r6"),
+    )
+
+
+def _contamination_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+sh AS (SELECT doc_id AS doc, unnest({_shingles_sql("tk")}) AS s FROM toks),
+ps AS (SELECT doc AS probe, s FROM sh WHERE doc % 50 = 0),
+psz AS (SELECT probe, count(*) AS probe_ngrams FROM ps GROUP BY probe),
+shared AS (
+  SELECT c.doc AS corpus_id, p.probe AS probe_id, count(*) AS shared_ngrams
+  FROM sh c JOIN ps p ON c.s = p.s
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT s.corpus_id, s.probe_id, s.shared_ngrams::BIGINT AS shared_ngrams,
+       z.probe_ngrams::BIGINT AS probe_ngrams,
+       round(s.shared_ngrams / z.probe_ngrams::DOUBLE, 6) AS overlap_r6
+FROM shared s JOIN psz z ON s.probe_id = z.probe
+"""
+
+
+def _token_percentiles_sql() -> str:
+    return f"""
+WITH toks AS (SELECT lang, len({_TOKS_SQL})::DOUBLE AS nt FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(nt, 0.5), 6) AS p50_r6,
+       round(quantile_cont(nt, 0.9), 6) AS p90_r6,
+       round(quantile_cont(nt, 0.99), 6) AS p99_r6
+FROM toks GROUP BY lang
+"""
+
+
 _REACH_SQL = """reach(a, b) AS (
     SELECT src, dst FROM edges_d
     UNION
@@ -1944,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_graph_scalars": q59_graph_scalars,
         "q60_bowtie": q60_bowtie,
         "q61_harmonic": q61_harmonic,
+        "q62_contamination": q62_contamination,
+        "q63_token_percentiles": q63_token_percentiles,
     }
 
 
@@ -2196,4 +2259,6 @@ def oracle_sql() -> dict[str, str]:
         "q59_graph_scalars": _graph_scalars_sql(),
         "q60_bowtie": _bowtie_sql(),
         "q61_harmonic": _harmonic_sql(),
+        "q62_contamination": _contamination_sql(),
+        "q63_token_percentiles": _token_percentiles_sql(),
     }

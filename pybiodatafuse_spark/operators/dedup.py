@@ -269,3 +269,47 @@ def near_dup_clusters(
         .withColumn("_rn", F.row_number().over(w))
         .select("doc_id", "cluster_id", (F.col("_rn") == 1).alias("is_canonical"))
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: ``(corpus_id, probe_id,
+    shared_ngrams, probe_ngrams, overlap)`` for corpus documents sharing ≥
+    ``min_shared`` distinct word-n-grams with a probe document (the standard
+    eval-set decontamination pass of an LLM training pipeline; n=13 in
+    GPT-3-style filtering, smaller here for the synthetic fixture).
+
+    Plan shape: shingle both sides once (tokenize-once barrier), distinct per
+    doc, then ONE equi-join on the shingle string — work is bounded by
+    shingle collisions, never |corpus| × |probes|. At 100 TB the probe side
+    is small (an eval set): its shingle relation broadcasts and the corpus
+    scans once."""
+    cs = shingle_rows(corpus, id_col, text_col, n).dropDuplicates(["doc", "s"])
+    ps = (
+        shingle_rows(probes, id_col, text_col, n)
+        .dropDuplicates(["doc", "s"])
+        .select(F.col("doc").alias("probe"), "s")
+    )
+    p_sizes = ps.groupBy("probe").agg(F.count(F.lit(1)).alias("probe_ngrams"))
+    shared = (
+        cs.join(ps, "s")
+        .groupBy(F.col("doc").alias("corpus_id"), F.col("probe").alias("probe_id"))
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )
+    return shared.join(
+        p_sizes.select(F.col("probe").alias("probe_id"), "probe_ngrams"), "probe_id"
+    ).select(
+        "corpus_id",
+        "probe_id",
+        "shared_ngrams",
+        "probe_ngrams",
+        (F.col("shared_ngrams") / F.col("probe_ngrams")).alias("overlap"),
+    )

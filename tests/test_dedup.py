@@ -124,3 +124,32 @@ def test_near_dup_clusters(spark):
     assert got2[2] == (1, False)
     assert got2[3] == (1, False)
     assert got2[4] == (4, True)
+
+
+def test_contamination_pairs(spark):
+    from pybiodatafuse_spark.operators.dedup import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps over a sleeping cat"),
+            (3, "completely different words here entirely now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["corpus_id"]: r
+        for r in contamination_pairs(docs, probes, n=3, min_shared=1).collect()
+    }
+    # doc 1 == probe: full overlap (7 distinct trigrams of 9 tokens)
+    assert rows[1]["shared_ngrams"] == rows[1]["probe_ngrams"] == 7
+    assert rows[1]["overlap"] == 1.0
+    # doc 2 shares "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert rows[2]["shared_ngrams"] == 3
+    assert abs(rows[2]["overlap"] - 3 / 7) < 1e-12
+    # doc 3 shares nothing
+    assert 3 not in rows
