@@ -1729,6 +1729,70 @@ def q63_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-superstep LPA partition (operator
+    composition: labelprop → graphstats.modularity)."""
+    from pybiodatafuse_spark.operators.graphstats import modularity
+    from pybiodatafuse_spark.plans.labelprop import label_propagation
+
+    e = _derived_edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_iter=3).select("id", "label")
+    return modularity(spark, e, labels).select(
+        "n_communities", F.round("modularity", 6).alias("modularity_r6")
+    )
+
+
+def _modularity_sql() -> str:
+    parts = [
+        f"WITH edges_d AS ({_EDGES_SQL}),",
+        f"verts AS ({_VERTS_SQL}),",
+        "sym AS (SELECT src AS u, dst AS v FROM edges_d UNION "
+        "SELECT dst, src FROM edges_d),",
+        "l0 AS (SELECT id, id AS lab FROM verts),",
+    ]
+    for k in range(3):
+        parts.append(
+            f"cnt{k} AS (SELECT s.v AS id, l.lab, count(*) AS c FROM sym s "
+            f"JOIN l{k} l ON s.u = l.id GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"win{k} AS (SELECT id, lab, row_number() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, lab ASC) AS rn FROM cnt{k}),"
+        )
+        parts.append(
+            f"l{k + 1} AS (SELECT l.id, coalesce(w.lab, l.lab) AS lab FROM l{k} l "
+            f"LEFT JOIN win{k} w ON l.id = w.id AND w.rn = 1),"
+        )
+    parts.append(
+        "ud AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM edges_d WHERE src <> dst),"
+    )
+    parts.append("m AS (SELECT count(*)::DOUBLE AS m FROM ud),")
+    parts.append(
+        "udeg AS (SELECT id, count(*) AS deg FROM ("
+        "SELECT a AS id FROM ud UNION ALL SELECT b FROM ud) GROUP BY id),"
+    )
+    parts.append(
+        "intra AS (SELECT la.lab AS lab, count(*) AS e_c FROM ud "
+        "JOIN l3 la ON ud.a = la.id JOIN l3 lb ON ud.b = lb.id "
+        "WHERE la.lab = lb.lab GROUP BY 1),"
+    )
+    parts.append(
+        "dc AS (SELECT l.lab AS lab, sum(d.deg)::DOUBLE AS d_c FROM udeg d "
+        "JOIN l3 l ON d.id = l.id GROUP BY 1),"
+    )
+    parts.append(
+        "per AS (SELECT dc.lab, coalesce(i.e_c, 0) / (SELECT m FROM m) "
+        "- (dc.d_c / (2 * (SELECT m FROM m))) ^ 2 AS q_c "
+        "FROM dc LEFT JOIN intra i ON dc.lab = i.lab)"
+    )
+    parts.append(
+        "SELECT count(*)::BIGINT AS n_communities, "
+        "round(sum(q_c), 6) AS modularity_r6 FROM per"
+    )
+    return "\n".join(parts)
+
+
 def _contamination_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
@@ -2007,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_harmonic": q61_harmonic,
         "q62_contamination": q62_contamination,
         "q63_token_percentiles": q63_token_percentiles,
+        "q64_modularity": q64_modularity,
     }
 
 
@@ -2261,4 +2326,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_harmonic": _harmonic_sql(),
         "q62_contamination": _contamination_sql(),
         "q63_token_percentiles": _token_percentiles_sql(),
+        "q64_modularity": _modularity_sql(),
     }

@@ -169,3 +169,50 @@ def graph_scalars(spark: SparkSession, edges: DataFrame) -> DataFrame:
         ],
         "n_vertices long, n_edges long, density double, reciprocity double, assortativity double",
     )
+
+
+def modularity(spark: SparkSession, edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition over the undirected simple
+    graph: ``Q = Σ_c [ e_c/m − (d_c/2m)² ]`` with e_c = intra-community edge
+    count, d_c = total community degree, m = |E|. ``labels``: (id, label).
+
+    One row ``(n_communities, modularity)``. Two shuffles (label join +
+    per-community aggregate); the label relation is O(V) and the per-label
+    rollup is partial-aggregated."""
+    und = _undirected(edges).persist()
+    m = und.count()
+    if m == 0:
+        und.unpersist()
+        return spark.createDataFrame(
+            [(0, 0.0)], "n_communities long, modularity double"
+        )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    d_c = (
+        _udegrees(und)
+        .join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    per = d_c.join(intra, "label", "left").select(
+        "label",
+        (
+            F.coalesce("e_c", F.lit(0)) / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+        ).alias("q_c"),
+    )
+    row = per.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("q_c").alias("q")
+    ).first()
+    und.unpersist()
+    return spark.createDataFrame(
+        [(int(row["nc"]), float(row["q"]))],
+        "n_communities long, modularity double",
+    )

@@ -225,3 +225,23 @@ def test_harmonic_centrality(spark, graph):
     assert set(got) == set(want)
     for v, h in want.items():
         assert got[v] == pytest.approx(h, abs=1e-9)
+
+
+def test_modularity_closed_form(spark):
+    from pybiodatafuse_spark.operators.graphstats import modularity
+
+    # two triangles joined by one bridge; partition = the two triangles
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    e = _edge_df(spark, pairs)
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "id long, label long"
+    )
+    row = modularity(spark, e, labels).first()
+    # m=7, e_c=3 each, d_c=7 each: Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+    assert row["n_communities"] == 2
+    assert row["modularity"] == pytest.approx(6 / 7 - 0.5, abs=1e-12)
+    # degenerate: all one community → Q = 1 - 1 = 0
+    one = spark.createDataFrame([(i, 9) for i in range(1, 7)], "id long, label long")
+    row1 = modularity(spark, e, one).first()
+    assert row1["n_communities"] == 1
+    assert row1["modularity"] == pytest.approx(0.0, abs=1e-12)
