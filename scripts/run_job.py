@@ -49,7 +49,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="pybiodatafuse_spark job runner")
     p.add_argument("algorithm", choices=[
         "pagerank", "pagerank_csr", "components", "labelprop", "triangles",
-        "summary", "resume", "rdf",
+        "summary", "resume", "rdf", "scc", "bowtie", "hits", "kcore",
+        "anf", "scalars",
     ])
     p.add_argument("--pages", help="pages table path (runs extraction)")
     p.add_argument("--edges", help="prebuilt edge table path")
@@ -61,6 +62,7 @@ def main(argv=None):
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--num-salts", type=int, default=8)
     p.add_argument("--hub-threshold", type=int, default=10000)
+    p.add_argument("--k", type=int, default=3, help="k for the kcore job")
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -124,6 +126,31 @@ def main(argv=None):
             prefixes_path=os.path.join(args.out + "_prefixes.ttl"),
         )
         info["out"] = args.out
+    elif args.algorithm == "scc":
+        from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+        result_df = strongly_connected_components(spark, edges, verts)
+    elif args.algorithm == "bowtie":
+        from pybiodatafuse_spark.plans.scc import bowtie_decomposition
+
+        result_df = bowtie_decomposition(spark, edges, verts)
+    elif args.algorithm == "hits":
+        from pybiodatafuse_spark.plans.hits import hits
+
+        result_df = hits(spark, edges, verts, tol=args.tol, max_iter=args.max_iter)
+    elif args.algorithm == "kcore":
+        from pybiodatafuse_spark.plans.kcore import k_core
+
+        result_df = k_core(spark, edges, k=args.k)
+    elif args.algorithm == "anf":
+        from pybiodatafuse_spark.plans.bfs import effective_diameter
+
+        h_eff, totals = effective_diameter(spark, edges)
+        info.update(effective_diameter=h_eff, per_hop_totals=totals)
+    elif args.algorithm == "scalars":
+        from pybiodatafuse_spark.operators.graphstats import graph_scalars
+
+        result_df = graph_scalars(spark, edges)
     elif args.algorithm == "summary":
         from pybiodatafuse_spark.operators.summarize import summary
 
