@@ -213,6 +213,24 @@ def main():
     pagerank_stats["csr_superstep_sec"] = round(csr_wall / 10, 3)
     edges_c.unpersist()
 
+    # headline 1c: ANF (HLL neighborhood function, 3 hops) on the same
+    # snapshot — the sketch-flooding scale path. Reported as its OWN block
+    # (not in the headline total) so round-over-round totals stay comparable.
+    from pybiodatafuse_spark.plans.bfs import anf_hll
+
+    edges_a = spark.read.parquet(e_path)
+    t0 = time.monotonic()
+    anf_hll(spark, edges_a, hops=3, lgk=11).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    anf_wall = time.monotonic() - t0
+    anf_stats = {
+        "hops": 3,
+        "lgk": 11,
+        "sec": round(anf_wall, 3),
+        "sketch_merges_per_sec": round(n_edges * 3 / anf_wall),
+    }
+
     calib["after_pagerank"] = round(calibrate(), 3)
 
     # headline 2: representative driver-gate queries at sf
@@ -233,6 +251,7 @@ def main():
         "queries": queries,
         "sf": sf,
         "pagerank": pagerank_stats,
+        "anf": anf_stats,
         # single-thread fixed-cost probe (sec): compare across rounds — if
         # calib moved with the headline, the swing is co-tenant load, not the
         # engine (see calibrate() docstring); quiet-box reference ≈ 0.2 s
