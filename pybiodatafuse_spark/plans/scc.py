@@ -96,26 +96,45 @@ def _scc_body(spark, edges, verts, max_outer, max_inner):
             df if assigned is None else assigned.unionByName(df)
         )
 
+    n_active = active_v.count()
     for _outer in range(max_outer):
-        if active_v.isEmpty():
+        if n_active == 0:
             break
 
         # ---- 1. trim to fixpoint ------------------------------------------
+        # a vertex with in-degree 0 or out-degree 0 in the active subgraph is
+        # a singleton SCC: drop it from the active sets and let the final
+        # unassigned→self coalesce label it (no per-round assignment needed).
+        # ONE shuffle per peel: both degree bits in a single groupBy-agg.
         for _ in range(max_inner):
-            has_out = active_e.select(F.col("src").alias("id")).dropDuplicates(["id"])
-            has_in = active_e.select(F.col("dst").alias("id")).dropDuplicates(["id"])
-            keep = _ckpt(has_out.join(has_in, "id"))  # on a cycle candidate
-            trimmed = _ckpt(active_v.join(keep, "id", "left_anti"))
-            if trimmed.isEmpty():
+            keep = _ckpt(
+                active_e.select(
+                    F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")
+                )
+                .unionByName(
+                    active_e.select(
+                        F.col("dst").alias("id"), F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    )
+                )
+                .groupBy("id")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                .where((F.col("o") == 1) & (F.col("i") == 1))
+                .select("id")
+            )
+            n_keep = keep.count()
+            if n_keep == n_active:
                 break
-            assign(trimmed.select("id", F.col("id").alias("scc")))
             active_v = keep
+            n_active = n_keep
+            if n_active == 0:
+                break
             active_e = _ckpt(
                 active_e.join(
                     keep.select(F.col("id").alias("src")), "src", "left_semi"
                 ).join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
             )
-        if active_v.isEmpty():
+        if n_active == 0:
             break
 
         # loop-invariant adjacency for this outer round: one copy partitioned
@@ -178,12 +197,13 @@ def _scc_body(spark, edges, verts, max_outer, max_inner):
 
         assign(settled.select("id", F.col("f").alias("scc")))
         active_v = _ckpt(active_v.join(settled.select("id"), "id", "left_anti"))
+        n_active = active_v.count()
         active_e = _ckpt(
             active_e.join(
                 active_v.select(F.col("id").alias("src")), "src", "left_semi"
             ).join(active_v.select(F.col("id").alias("dst")), "dst", "left_semi")
         )
-    if not active_v.isEmpty():  # max_outer hit with leftovers
+    if n_active != 0:  # max_outer hit with leftovers
         raise RuntimeError(f"SCC did not converge in {max_outer} outer rounds")
 
     if assigned is None:
