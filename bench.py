@@ -158,6 +158,7 @@ def _scale_probe(cpus: int, n_pages: int, master: str | None = None) -> dict:
 def run_probe():
     from pybiodatafuse_spark.session import get_spark
 
+    calib_before = calibrate()
     spark = get_spark("bench-probe")
     n_edges, steps, wall, _, median_step, best_step = _pagerank_job(spark, BENCH_PAGES)
     print(json.dumps({
@@ -167,6 +168,10 @@ def run_probe():
         "edges_per_sec_steady": round(n_edges / median_step),
         "best_superstep_sec": round(best_step, 3),
         "edges_per_sec_best": round(n_edges / best_step),
+        # single-thread fixed-cost probe bracketing this measurement: lets a
+        # reader attribute a weak pair to co-tenant load (quiet box ≈ 0.2 s)
+        "calib_before": round(calib_before, 3),
+        "calib_after": round(calibrate(), 3),
     }))
     spark.stop()
 
@@ -224,6 +229,7 @@ def main():
         "overwrite"
     ).save()
     anf_wall = time.monotonic() - t0
+    t_total0 += anf_wall  # own block — keep the headline total comparable to r1/r2
     anf_stats = {
         "hops": 3,
         "lgk": 11,
@@ -324,6 +330,16 @@ def main():
             "median_steady_lo": p_lo["edges_per_sec_steady"],
             "median_steady_hi": p_hi["edges_per_sec_steady"],
             "all_pairs_efficiency": [round(e, 3) for _, _, e in pairs],
+            # per-pair single-thread calibration brackets [lo_before,
+            # lo_after, hi_before, hi_after]: quiet box ≈ 0.2 s — a weak pair
+            # whose brackets are inflated is co-tenant load, not the engine
+            "pairs_calibration": [
+                [
+                    pl.get("calib_before"), pl.get("calib_after"),
+                    ph.get("calib_before"), ph.get("calib_after"),
+                ]
+                for pl, ph, _ in pairs
+            ],
             "best_pair_efficiency": round(min(best, 1.0), 3),
             "selection": f"MEDIAN of {len(pairs)} completed adjacent lo/hi "
                          f"pairs (no early exit), best-steady-superstep per "
@@ -372,6 +388,13 @@ def main():
                 "edges_per_sec_lo": e_lo[key],
                 "edges_per_sec_hi": e_hi[key],
                 "all_pairs_efficiency": [round(e, 3) for _, _, e in e_runs],
+                "pairs_calibration": [
+                    [
+                        pl.get("calib_before"), pl.get("calib_after"),
+                        ph.get("calib_before"), ph.get("calib_after"),
+                    ]
+                    for pl, ph, _ in e_runs
+                ],
                 "best_pair_efficiency": round(min(e_best, 1.0), 3),
                 "selection": f"MEDIAN of {len(e_runs)} completed adjacent "
                              f"pairs (no early exit), clamped at 1.0",
