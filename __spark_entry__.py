@@ -1793,6 +1793,58 @@ def _modularity_sql() -> str:
     return "\n".join(parts)
 
 
+def q65_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through two broadcastable dims (region,
+    nation) — the multi-dim star-join pattern Catalyst should plan as
+    broadcast joins around one fact shuffle. Decimal-exact money math."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            su,
+            (li["l_suppkey"] == su["s_suppkey"])
+            & (cu["c_nationkey"] == su["s_nationkey"]),
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _regional_revenue_sql() -> str:
+    return """
+SELECT r_name, n_name,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
 def _contamination_sql() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
@@ -2072,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_contamination": q62_contamination,
         "q63_token_percentiles": q63_token_percentiles,
         "q64_modularity": q64_modularity,
+        "q65_regional_revenue": q65_regional_revenue,
     }
 
 
@@ -2327,4 +2380,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_contamination": _contamination_sql(),
         "q63_token_percentiles": _token_percentiles_sql(),
         "q64_modularity": _modularity_sql(),
+        "q65_regional_revenue": _regional_revenue_sql(),
     }
