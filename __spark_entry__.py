@@ -1828,6 +1828,42 @@ def q65_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot edge diff: yesterday = edges with (src*31+dst)%11==0 removed,
+    today = full derived edges — added/removed per edge (feeds warm-start
+    incremental PageRank)."""
+    from pybiodatafuse_spark.operators.edges import edge_delta
+
+    today = _derived_edges(spark, sf_dir)
+    yesterday = today.where((F.col("src") * 31 + F.col("dst")) % 11 != 0)
+    extra = today.where((F.col("src") * 7 + F.col("dst")) % 13 == 0).select(
+        (F.col("src") + 1000).alias("src"), (F.col("dst") + 1000).alias("dst")
+    )
+    return edge_delta(
+        yesterday.select("src", "dst").unionByName(extra),
+        today.select("src", "dst"),
+    )
+
+
+def _edge_delta_sql() -> str:
+    return f"""
+WITH today AS ({_EDGES_SQL}),
+extra AS (SELECT src + 1000 AS src, dst + 1000 AS dst FROM today
+          WHERE (src*7 + dst) % 13 = 0),
+yesterday AS (
+  SELECT src, dst FROM today WHERE (src*31 + dst) % 11 <> 0
+  UNION ALL SELECT src, dst FROM extra
+)
+SELECT t.src, t.dst, 'added' AS change
+FROM today t LEFT JOIN yesterday y ON t.src = y.src AND t.dst = y.dst
+WHERE y.src IS NULL
+UNION ALL
+SELECT y.src, y.dst, 'removed' AS change
+FROM yesterday y LEFT JOIN today t ON t.src = y.src AND t.dst = y.dst
+WHERE t.src IS NULL
+"""
+
+
 def _regional_revenue_sql() -> str:
     return """
 SELECT r_name, n_name,
@@ -2125,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_token_percentiles": q63_token_percentiles,
         "q64_modularity": q64_modularity,
         "q65_regional_revenue": q65_regional_revenue,
+        "q66_edge_delta": q66_edge_delta,
     }
 
 
@@ -2381,4 +2418,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_token_percentiles": _token_percentiles_sql(),
         "q64_modularity": _modularity_sql(),
         "q65_regional_revenue": _regional_revenue_sql(),
+        "q66_edge_delta": _edge_delta_sql(),
     }

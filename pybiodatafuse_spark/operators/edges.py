@@ -125,3 +125,22 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).dropDuplicates(
         ["src", "dst"]
     )
+
+
+def edge_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff of two edge tables: ``(src, dst, change)`` with change ∈
+    {'added', 'removed'} — the daily-crawl delta that feeds
+    ``pagerank(init_ranks=yesterday)`` incremental re-ranking (two anti-joins
+    on the distinct edge keys; unchanged edges never leave the scan).
+
+    At Iceberg scale both sides are ``VERSION AS OF`` reads of the same
+    table, so the anti-joins run storage-partition-aligned."""
+    ok = old.select("src", "dst").dropDuplicates(["src", "dst"])
+    nk = new.select("src", "dst").dropDuplicates(["src", "dst"])
+    added = nk.join(ok, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("added").alias("change")
+    )
+    removed = ok.join(nk, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("removed").alias("change")
+    )
+    return added.unionByName(removed)

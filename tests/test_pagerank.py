@@ -155,3 +155,42 @@ def test_warm_start_with_new_vertices_matches_cold(spark, graph):
     assert cold_got.keys() == warm_got.keys()
     assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-6
     assert warmr.supersteps < cold.supersteps
+
+
+def test_incremental_snapshot_rerank_end_to_end(spark, tmp_path):
+    """The daily-crawl incremental loop: snapshot v1 → converge → append a
+    crawl delta (snapshot v2) → edge_delta identifies the change →
+    warm-start re-rank over v2 matches a cold run on v2."""
+    from pybiodatafuse_spark.operators.edges import edge_delta
+    from pybiodatafuse_spark.storage import Storage
+
+    st = Storage(str(tmp_path / "store"))
+    e1 = spark.createDataFrame(
+        [(i, (i + 1) % 30, 1.0, 1) for i in range(30)],
+        "src long, dst long, weight double, etype int",
+    )
+    snap1 = st.append(e1, "edges")
+    base = pagerank(
+        spark, st.read_table(spark, "edges", snapshot_id=snap1),
+        tol=1e-8, max_iter=200, hub_threshold=5,
+    )
+    delta = spark.createDataFrame(
+        [(i, (i + 7) % 30, 1.0, 1) for i in range(0, 30, 3)],
+        "src long, dst long, weight double, etype int",
+    )
+    snap2 = st.append(delta, "edges")
+    old = st.read_table(spark, "edges", snapshot_id=snap1)
+    new = st.read_table(spark, "edges", snapshot_id=snap2)
+    changes = edge_delta(old, new).collect()
+    assert {r["change"] for r in changes} == {"added"}
+    assert len(changes) == 10 - sum(
+        1 for i in range(0, 30, 3) if (i + 7) % 30 == (i + 1) % 30
+    )
+    warm = pagerank(
+        spark, new, tol=1e-8, max_iter=200, hub_threshold=5,
+        init_ranks=base.state.select("id", "rank"),
+    )
+    cold = pagerank(spark, new, tol=1e-8, max_iter=200, hub_threshold=5)
+    wg = {r["id"]: r["rank"] for r in warm.state.collect()}
+    cg = {r["id"]: r["rank"] for r in cold.state.collect()}
+    assert max(abs(wg[k] - cg[k]) for k in cg) < 1e-6
