@@ -1845,6 +1845,28 @@ def q66_edge_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sample (training-mix
+    upsampling): keep probability ∝ n_chars at a 0.3 corpus budget."""
+    from pybiodatafuse_spark.operators.hierarchy import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", fraction=0.3).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _weighted_sample_sql() -> str:
+    h = _h64_sql("doc_id::VARCHAR")
+    return f"""
+WITH m AS (SELECT avg(n_chars) AS mw FROM documents)
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents, m
+WHERE (({h}) % 1000000) / 1000000.0
+      < least(1.0, 0.3 * n_chars / mw)
+"""
+
+
 def _edge_delta_sql() -> str:
     return f"""
 WITH today AS ({_EDGES_SQL}),
@@ -2162,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_modularity": q64_modularity,
         "q65_regional_revenue": q65_regional_revenue,
         "q66_edge_delta": q66_edge_delta,
+        "q67_weighted_sample": q67_weighted_sample,
     }
 
 
@@ -2419,4 +2442,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_modularity": _modularity_sql(),
         "q65_regional_revenue": _regional_revenue_sql(),
         "q66_edge_delta": _edge_delta_sql(),
+        "q67_weighted_sample": _weighted_sample_sql(),
     }

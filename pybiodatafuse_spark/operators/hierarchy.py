@@ -79,3 +79,31 @@ def stratified_deterministic_split(
     test = df.where(bucket == 0)
     train = df.where(bucket != 0)
     return train, test
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    *,
+    fraction: float,
+    hash_space: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: row i kept with probability
+    ``min(1, fraction · w_i / mean(w))`` — expected output size ≈
+    ``fraction · count`` with inclusion proportional to weight (the
+    training-mix upsampling pass: high-quality documents are kept more
+    often at the same corpus budget). Reproducible and partition-independent
+    (``hash64(key) % hash_space`` is the uniform draw; no RNG state).
+
+    One scalar aggregate (mean weight) + a stateless filter — scans once.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    mean_w = df.agg(F.avg(w).alias("m")).first()["m"]
+    if not mean_w or mean_w <= 0:
+        raise ValueError("weighted_sample: mean weight must be positive")
+    u = F.pmod(hash64(F.col(key_col).cast("string")), F.lit(hash_space)) / F.lit(
+        float(hash_space)
+    )
+    p = F.least(F.lit(1.0), F.lit(fraction) * w / F.lit(float(mean_w)))
+    return df.where(u < p)

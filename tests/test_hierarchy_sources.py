@@ -242,3 +242,22 @@ def test_dea_from_excel_ragged_rows_and_sheet_order(spark, tmp_path):
     assert df.columns == ["identifier", "fc"]
     rows = {r["identifier"]: r["fc"] for r in df.collect()}
     assert rows["g1"] == 1.5 and rows["g2"] is None
+
+
+def test_weighted_sample_properties(spark):
+    from pybiodatafuse_spark.operators.hierarchy import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + (i % 10))) for i in range(4000)], "k long, w double"
+    )
+    kept = weighted_sample(df, "k", "w", fraction=0.25).collect()
+    n = len(kept)
+    assert 700 < n < 1300  # E[n] = 1000, deterministic given the hash
+    # inclusion rate must grow with weight
+    from collections import Counter
+
+    by_w = Counter(int(r["w"]) for r in kept)
+    assert by_w[10] > by_w[1] * 2
+    # reproducible: same call → identical rows
+    again = weighted_sample(df, "k", "w", fraction=0.25).collect()
+    assert sorted(r["k"] for r in again) == sorted(r["k"] for r in kept)
