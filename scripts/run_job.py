@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--num-salts", type=int, default=8)
     p.add_argument("--hub-threshold", type=int, default=10000)
     p.add_argument("--k", type=int, default=3, help="k for the kcore job")
+    p.add_argument(
+        "--init-ranks",
+        help="parquet path of a prior (id, rank) vector — warm-start pagerank "
+        "for incremental snapshot re-ranking",
+    )
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -94,6 +99,8 @@ def main(argv=None):
             kwargs.update(num_salts=args.num_salts, hub_threshold=args.hub_threshold)
             if args.algorithm == "resume":
                 kwargs.update(resume=True)
+            elif args.init_ranks:
+                kwargs.update(init_ranks=spark.read.parquet(args.init_ranks))
         res = fn(spark, edges, verts, **kwargs)
         result_df = res.state.select("id", "rank")
         info.update(supersteps=res.supersteps, converged=res.converged,
