@@ -245,3 +245,14 @@ def test_modularity_closed_form(spark):
     row1 = modularity(spark, e, one).first()
     assert row1["n_communities"] == 1
     assert row1["modularity"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_diameter_lower_bound(spark):
+    from pybiodatafuse_spark.plans.bfs import diameter_lower_bound
+
+    # directed path 0→1→…→6: diameter 6, double sweep finds it exactly
+    path = [(i, i + 1) for i in range(6)]
+    assert diameter_lower_bound(spark, _edge_df(spark, path)) == 6
+    # cycle of 5: eccentricity 4 from any start
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    assert diameter_lower_bound(spark, _edge_df(spark, cyc)) == 4
