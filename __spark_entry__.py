@@ -33,22 +33,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _GRAPH_MOD = 211  # derived-graph vertex space: orders keys mod 211
 
+# per-(session, sf_dir) materialized small tables shared across gate queries:
+# ~30 of the 67 gates start from the same derived edge relation, and the
+# iterative ones re-derive it inside every superstep lineage — one eager
+# localCheckpoint (a few thousand rows) removes the repeated parquet scan +
+# dedup shuffle from every downstream job in the driver's correctness run.
+_SHARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    ck = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _SHARED.get(ck)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _SHARED[ck] = df
+    return df
+
 
 def _derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic edge table both engines can derive: orders keys mod 211.
     (The pages→links extraction path is exercised in tests/bench; the driver
     gate needs an edge table DuckDB can reproduce exactly.)"""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            (F.col("o_custkey") % _GRAPH_MOD).alias("src"),
-            (F.col("o_orderkey") % _GRAPH_MOD).alias("dst"),
+
+    def build() -> DataFrame:
+        o = _t(spark, sf_dir, "orders")
+        return (
+            o.select(
+                (F.col("o_custkey") % _GRAPH_MOD).alias("src"),
+                (F.col("o_orderkey") % _GRAPH_MOD).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("weight", F.lit(1.0))
+            .withColumn("etype", F.lit(1).cast("int"))
         )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .withColumn("weight", F.lit(1.0))
-        .withColumn("etype", F.lit(1).cast("int"))
-    )
+
+    return _shared(spark, sf_dir, "derived_edges", build)
 
 
 _EDGES_SQL = f"""
@@ -1580,8 +1600,30 @@ def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparsified derived edge table for the directed-reachability gates:
     the full mod-211 graph is one giant SCC (trivial decomposition), so keep
     a deterministic ~9% subset that yields CORE/OUT/OTHER structure."""
-    e = _derived_edges(spark, sf_dir)
-    return e.where((F.col("src") * 31 + F.col("dst")) % 11 == 0)
+    return _shared(
+        spark,
+        sf_dir,
+        "sparse_edges",
+        lambda: _derived_edges(spark, sf_dir).where(
+            (F.col("src") * 31 + F.col("dst")) % 11 == 0
+        ),
+    )
+
+
+def _sparse_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC labels of the sparsified graph, computed once per session — both
+    q54 (the SCC gate itself) and q60 (bow-tie, which classifies around the
+    giant SCC) consume it."""
+    from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+    return _shared(
+        spark,
+        sf_dir,
+        "sparse_scc",
+        lambda: strongly_connected_components(
+            spark, _sparse_edges(spark, sf_dir)
+        ).select("id", "scc"),
+    )
 
 
 _SPARSE_EDGES_SQL = (
@@ -1593,11 +1635,9 @@ def q54_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (FW-BW-Trim coloring, plans/scc.py) —
     scc = min vertex id in the component; oracle = recursive-CTE mutual
     reachability. Runs on the sparsified edge subset so the SCC structure is
-    non-trivial (giant core + singletons)."""
-    from pybiodatafuse_spark.plans.scc import strongly_connected_components
-
-    e = _sparse_edges(spark, sf_dir)
-    return strongly_connected_components(spark, e).select("id", "scc")
+    non-trivial (giant core + singletons); the labeling is shared with the
+    q60 bow-tie gate via the per-session cache."""
+    return _sparse_scc(spark, sf_dir)
 
 
 def q55_bfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,7 +1714,7 @@ def q60_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _sparse_edges(spark, sf_dir)
     return (
-        bowtie_decomposition(spark, e)
+        bowtie_decomposition(spark, e, scc=_sparse_scc(spark, sf_dir))
         .groupBy("cls")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2075,7 +2115,7 @@ SELECT (SELECT n FROM nv) AS n_vertices,
        (SELECT n FROM ne) AS n_edges,
        round((SELECT n FROM ne)::DOUBLE / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1)), 6) AS density_r6,
        round((SELECT r FROM recip) / (SELECT n FROM ne), 6) AS reciprocity_r6,
-       round((SELECT corr(od, idg) FROM pe), 6) AS assortativity_r6"""
+       round(COALESCE((SELECT corr(od, idg) FROM pe), 0.0), 6) AS assortativity_r6"""
 
 
 def _bowtie_sql() -> str:
@@ -2118,6 +2158,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # r3's driver correctness run recorded rows for only the first 50
+        # registry entries — the q51+ gates, green under the local oracle
+        # replica, never got a driver row. Run order = insertion order, so
+        # the driver-unverified gates go FIRST this round; every other gate
+        # already has a green driver row in CORRECTNESS_r03.
+        "q51_kcore3": q51_kcore3,
+        "q52_host_rollup": q52_host_rollup,
+        "q53_ppr5": q53_ppr5,
+        "q54_scc": q54_scc,
+        "q55_bfs_seeds": q55_bfs_seeds,
+        "q56_clustering": q56_clustering,
+        "q57_neighborhood3": q57_neighborhood3,
+        "q58_adamic_adar": q58_adamic_adar,
+        "q59_graph_scalars": q59_graph_scalars,
+        "q60_bowtie": q60_bowtie,
+        "q61_harmonic": q61_harmonic,
+        "q62_contamination": q62_contamination,
+        "q63_token_percentiles": q63_token_percentiles,
+        "q64_modularity": q64_modularity,
+        "q65_regional_revenue": q65_regional_revenue,
+        "q66_edge_delta": q66_edge_delta,
+        "q67_weighted_sample": q67_weighted_sample,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_regex_classify": q03_regex_classify,
@@ -2168,23 +2230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_prediction_metrics": q47_prediction_metrics,
         "q49_shacl_shapes": q49_shacl_shapes,
         "q50_hits3": q50_hits3,
-        "q51_kcore3": q51_kcore3,
-        "q52_host_rollup": q52_host_rollup,
-        "q53_ppr5": q53_ppr5,
-        "q54_scc": q54_scc,
-        "q55_bfs_seeds": q55_bfs_seeds,
-        "q56_clustering": q56_clustering,
-        "q57_neighborhood3": q57_neighborhood3,
-        "q58_adamic_adar": q58_adamic_adar,
-        "q59_graph_scalars": q59_graph_scalars,
-        "q60_bowtie": q60_bowtie,
-        "q61_harmonic": q61_harmonic,
-        "q62_contamination": q62_contamination,
-        "q63_token_percentiles": q63_token_percentiles,
-        "q64_modularity": q64_modularity,
-        "q65_regional_revenue": q65_regional_revenue,
-        "q66_edge_delta": q66_edge_delta,
-        "q67_weighted_sample": q67_weighted_sample,
     }
 
 

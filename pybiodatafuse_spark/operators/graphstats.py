@@ -52,14 +52,32 @@ def _udegrees(und: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficients(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def clustering_coefficients(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
     """(id, deg, triangles, coeff) over the undirected simple graph; vertices
-    with deg < 2 have coeff 0.0."""
+    with deg < 2 have coeff 0.0.
+
+    By default the vertex set is derived from the undirected non-self edge
+    set; pass ``vertices`` (one ``id`` column — e.g. the full crawl page
+    table) to also report isolated and self-loop-only vertices with
+    ``deg=0, triangles=0, coeff=0.0``, matching the reference's networkx
+    summarize path which reports every node
+    (``/root/reference/src/pyBiodatafuse/analyzer/summarize.py:60-80``)."""
     und = _undirected(edges)
     _, per_vertex = triangles(
         spark, und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     deg = _udegrees(und)
+    if vertices is not None:
+        deg = (
+            vertices.select("id")
+            .dropDuplicates(["id"])
+            .join(deg, "id", "left")
+            .select("id", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        )
     return (
         deg.join(per_vertex, "id", "left")
         .select(

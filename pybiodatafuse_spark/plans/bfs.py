@@ -71,13 +71,23 @@ def bfs_distances(
     edges: DataFrame,
     seeds: DataFrame,
     *,
-    max_hops: int = 100,
+    max_hops: int = 300,
+    allow_truncate: bool = False,
 ) -> DataFrame:
     """Minimum hop count from any seed, along edge direction.
 
     ``seeds``: DataFrame with column ``id``. Returns ``(id: long,
     dist: long)`` for REACHED vertices only (seeds at dist 0); unreachable
     vertices are absent — left-join against the vertex set for ∞ semantics.
+
+    Runs to the reachability fixpoint (the loop exits as soon as a hop adds
+    nothing, so the cap is never paid on graphs with diameter < ``max_hops``
+    — the common case). If vertices would STILL be reachable past
+    ``max_hops``, raises ``RuntimeError`` instead of silently returning a
+    truncated distance map; pass ``allow_truncate=True`` to accept the
+    bounded-radius result explicitly (e.g. "distances within k hops of the
+    seed domains" at crawl scale). Default cap matches the 300-level
+    recursive-CTE unroll of the q55/q61 DuckDB oracles.
     """
     with no_aqe(spark):
         e = _pin_edges(edges, "src")
@@ -87,7 +97,7 @@ def bfs_distances(
             )
         )
         frontier = reached
-        for h in range(1, max_hops + 1):
+        for h in range(1, max_hops + 2):
             nxt = _ckpt(
                 frontier.hint("shuffle_hash")
                 .join(e, frontier["id"] == e["src"])
@@ -98,6 +108,16 @@ def bfs_distances(
             )
             if nxt.isEmpty():
                 break
+            if h == max_hops + 1:
+                # the hop past the cap still found new vertices → the result
+                # would be incomplete; never truncate silently
+                if allow_truncate:
+                    break
+                raise RuntimeError(
+                    f"bfs_distances: frontier still expanding after "
+                    f"{max_hops} hops; raise max_hops or pass "
+                    f"allow_truncate=True"
+                )
             reached = _ckpt(reached.unionByName(nxt))
             frontier = nxt
         e.unpersist()
@@ -109,7 +129,8 @@ def harmonic_centrality(
     edges: DataFrame,
     sources: DataFrame,
     *,
-    max_hops: int = 100,
+    max_hops: int = 300,
+    allow_truncate: bool = False,
 ) -> DataFrame:
     """Sampled harmonic centrality: ``h(v) = Σ_{s ∈ sources, s ≠ v,
     s ⇝ v} 1 / dist(s, v)`` with distances measured along edge direction
@@ -130,7 +151,7 @@ def harmonic_centrality(
             )
         )
         frontier = reached
-        for h in range(1, max_hops + 1):
+        for h in range(1, max_hops + 2):
             nxt = _ckpt(
                 frontier.hint("shuffle_hash")
                 .join(e, frontier["id"] == e["src"])
@@ -141,6 +162,14 @@ def harmonic_centrality(
             )
             if nxt.isEmpty():
                 break
+            if h == max_hops + 1:
+                if allow_truncate:
+                    break
+                raise RuntimeError(
+                    f"harmonic_centrality: frontier still expanding after "
+                    f"{max_hops} hops; raise max_hops or pass "
+                    f"allow_truncate=True"
+                )
             reached = _ckpt(reached.unionByName(nxt))
             frontier = nxt
         e.unpersist()

@@ -58,15 +58,23 @@ def train_transition_matrix(
     edges: DataFrame,
     num_etypes: int,
     *,
-    sample_mod: int = 10,
+    sample_mod: int | None = None,
     max_iter: int = 20,
     tol: float = 1e-3,
     blend: float = 0.5,
 ) -> tuple[np.ndarray, list[float]]:
-    """Returns (matrix KxK row-stochastic, per-iteration L1 deltas)."""
+    """Returns (matrix KxK row-stochastic, per-iteration L1 deltas).
+
+    ``sample_mod=None`` (default) auto-scales the per-edge hash-sample rate
+    from one cheap ``edges.count()``: keep ~500k sampled edges per iteration
+    (bounded wedge self-join at crawl scale) but NEVER sample below the full
+    edge set on small graphs — a fixed mod of 10 meant a small e2e fixture
+    drew zero wedges and the estimator silently fell back toward uniform."""
     K = num_etypes
     M = np.full((K, K), 1.0 / K)
     edges_c = edges.select("src", "dst", "etype").persist()
+    if sample_mod is None:
+        sample_mod = max(1, edges_c.count() // 500_000)
     deltas: list[float] = []
     for it in range(1, max_iter + 1):
         counts = {

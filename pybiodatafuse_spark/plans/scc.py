@@ -63,12 +63,19 @@ def strongly_connected_components(
     vertices: DataFrame | None = None,
     *,
     max_outer: int = 25,
-    max_inner: int = 100,
+    max_inner: int = 10_000,
 ) -> DataFrame:
     """Returns ``(id: long, scc: long)`` for every vertex; ``scc`` is the
     minimum vertex id in the strongly connected component (singletons map to
     themselves, matching the Tarjan/transitive-closure oracle in
-    tests/test_scc.py and the q54 recursive-CTE gate)."""
+    tests/test_scc.py and the q54 recursive-CTE gate).
+
+    Every inner loop (trim peel, forward min-label coloring, backward
+    settle) runs to its FIXPOINT; ``max_inner`` is a pure safety valve that
+    raises ``RuntimeError`` rather than silently truncating — min-label
+    flooding needs O(diameter) supersteps, so a long directed chain/cycle
+    legitimately needs more than any small fixed cap (a 150-vertex cycle is
+    one SCC, not 150 singletons)."""
     verts = (
         vertices.select("id")
         if vertices is not None
@@ -106,7 +113,13 @@ def _scc_body(spark, edges, verts, max_outer, max_inner):
         # a singleton SCC: drop it from the active sets and let the final
         # unassigned→self coalesce label it (no per-round assignment needed).
         # ONE shuffle per peel: both degree bits in a single groupBy-agg.
-        for _ in range(max_inner):
+        # (terminates: n_active strictly decreases every non-break pass, so
+        # the cap can only fire on a bug — raise, never truncate silently)
+        for _trim_it in range(max_inner + 1):
+            if _trim_it == max_inner:
+                raise RuntimeError(
+                    f"SCC trim did not reach fixpoint in {max_inner} peels"
+                )
             keep = _ckpt(
                 active_e.select(
                     F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")
@@ -144,8 +157,15 @@ def _scc_body(spark, edges, verts, max_outer, max_inner):
         e_by_dst = _pin(active_e, "dst")
 
         # ---- 2. forward coloring: f(v) = min id reaching v ----------------
+        # min-label flooding to FIXPOINT (monotone on a finite lattice →
+        # converges in ≤ diameter supersteps); cap raises, never truncates.
         f = _ckpt(active_v.select("id", F.col("id").alias("f")))
-        for _ in range(max_inner):
+        for _fwd_it in range(max_inner + 1):
+            if _fwd_it == max_inner:
+                raise RuntimeError(
+                    f"SCC forward coloring did not converge in {max_inner} "
+                    f"supersteps (changed={changed})"
+                )
             nbr_min = (
                 f.hint("shuffle_hash")
                 .join(e_by_src, f["id"] == e_by_src["src"])
@@ -173,7 +193,14 @@ def _scc_body(spark, edges, verts, max_outer, max_inner):
         f = _pin(f, "id")
         settled = _ckpt(f.where(F.col("id") == F.col("f")).select("id", "f"))
         frontier = settled
-        for _ in range(max_inner):
+        # backward settle to FIXPOINT (frontier strictly shrinks the
+        # unsettled set → terminates); cap raises, never truncates.
+        for _bwd_it in range(max_inner + 1):
+            if _bwd_it == max_inner:
+                raise RuntimeError(
+                    f"SCC backward settle did not converge in {max_inner} "
+                    f"supersteps (frontier still non-empty)"
+                )
             preds = (
                 frontier.hint("shuffle_hash")
                 .join(e_by_dst, frontier["id"] == e_by_dst["dst"])
@@ -218,10 +245,15 @@ def bowtie_decomposition(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     *,
-    max_inner: int = 100,
+    max_inner: int = 10_000,
+    scc: DataFrame | None = None,
 ) -> DataFrame:
     """Bow-tie structure of a directed graph (Broder et al., "Graph structure
     in the web", WWW'00): per-vertex class over {CORE, IN, OUT, OTHER}.
+
+    ``scc``: optionally pass a precomputed ``(id, scc)`` labeling (from
+    :func:`strongly_connected_components` on the SAME edge set) to reuse it
+    instead of recomputing — the SCC pass dominates the cost.
 
     - CORE: the largest SCC (ties broken by smallest scc id);
     - IN:   reaches CORE but is not in it;
@@ -232,7 +264,8 @@ def bowtie_decomposition(
     from the CORE set (one along reversed edges for IN, one forward for OUT),
     each shuffling only the growing reached set.
     """
-    scc = strongly_connected_components(spark, edges, vertices)
+    if scc is None:
+        scc = strongly_connected_components(spark, edges, vertices)
     sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
     top = sizes.orderBy(F.desc("n"), F.asc("scc")).limit(1)
     core_id = top.first()
@@ -265,14 +298,21 @@ def bowtie_decomposition(
 
 
 def _flood(spark, edges, seeds, max_inner):
-    """Vertices reachable from ``seeds`` along ``edges`` (seeds excluded
-    unless re-reached). Frontier-driven BFS; the edge list is pinned on the
-    join key once."""
+    """Vertices reachable from ``seeds`` along ``edges``; seed vertices are
+    ALWAYS excluded from the result (even when re-reached through a cycle) —
+    bowtie classification labels CORE first, so re-reached seeds never need
+    an IN/OUT label. Frontier-driven BFS to fixpoint; the edge list is
+    pinned on the join key once; ``max_inner`` is a safety cap that raises
+    rather than silently truncating reachability."""
     e = _pin(edges.dropDuplicates(["src", "dst"]), "src")
     reached = _ckpt(seeds.select("id"))
     frontier = reached
     out: DataFrame | None = None
-    for _ in range(max_inner):
+    for _fl_it in range(max_inner + 1):
+        if _fl_it == max_inner:
+            raise RuntimeError(
+                f"reachability flood did not converge in {max_inner} hops"
+            )
         nxt = (
             frontier.hint("shuffle_hash")
             .join(e, frontier["id"] == e["src"])

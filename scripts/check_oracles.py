@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -41,6 +42,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
@@ -48,8 +50,9 @@ def main():
             failures.append(name)
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             continue
+        spark_sec = time.monotonic() - t0
         if name not in oracles:
-            print(f"{name}: rows-only ({len(spdf)} rows) — no oracle")
+            print(f"{name}: rows-only ({len(spdf)} rows) — no oracle [{spark_sec:.1f}s]")
             continue
         try:
             odf = con.sql(oracles[name]).df()
@@ -77,7 +80,7 @@ def main():
             diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
             print(f"{name}: VALUE MISMATCH ({len(spdf)} rows); first diffs: {diff}")
             continue
-        print(f"{name}: OK ({len(spdf)} rows)")
+        print(f"{name}: OK ({len(spdf)} rows) [spark {spark_sec:.1f}s, total {time.monotonic() - t0:.1f}s]")
     print(f"\n{'FAILURES: ' + ', '.join(failures) if failures else 'ALL OK'}")
     spark.stop()
     sys.exit(1 if failures else 0)
