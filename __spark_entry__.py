@@ -1896,6 +1896,123 @@ def q67_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_anf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF (HLL sketch flooding, plans/bfs.anf_hll) gated against the EXACT
+    neighborhood function: one row ``(n_vertices, n_violations)`` where a
+    violation is a vertex whose 3-hop HLL estimate deviates from the exact
+    N(v,3) by more than max(4, 20% relative). The sketch fold is
+    deterministic for a given input (register-max is order-independent), so
+    the violation count is stable; the oracle computes n_vertices from the
+    recursive closure and asserts the violation count is ZERO — a real
+    accuracy gate on the sketch path, which is what runs at 10^12 pages."""
+    from pybiodatafuse_spark.plans.bfs import anf_hll, neighborhood_sizes
+
+    e = _derived_edges(spark, sf_dir)
+    exact = neighborhood_sizes(spark, e, hops=3)
+    est = anf_hll(spark, e, hops=3, lgk=11)
+    bad = (
+        F.abs(F.col("n_est") - F.col("n_within"))
+        > F.greatest(F.lit(4.0), 0.2 * F.col("n_within"))
+    ).cast("long")
+    return (
+        exact.join(est, "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum(bad).cast("long").alias("n_violations"),
+        )
+    )
+
+
+def _anf_accuracy_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_EDGES_SQL}),\n"
+        f"verts AS ({_VERTS_SQL}),\n"
+        "r(a, b, d) AS (\n"
+        "  SELECT id, id, 0 FROM verts\n"
+        "  UNION\n"
+        "  SELECT r.a, e.dst, r.d + 1 FROM r JOIN edges_d e ON r.b = e.src\n"
+        "  WHERE r.d < 3\n"
+        ")\n"
+        "SELECT count(DISTINCT a)::BIGINT AS n_vertices, 0::BIGINT AS n_violations FROM r"
+    )
+
+
+def q69_attribute_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer-explorer literature shape (reference literature.py:40-47):
+    distinct typed-entity ids split into deterministic 25-id query batches,
+    each batch's members joined into one string — computed with
+    repartitionByRange + partition-local row_number + driver offset merge,
+    never a single-partition window."""
+    from pybiodatafuse_spark.operators.explorer import attribute_batches
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return attribute_batches(c, "c_custkey", batch_size=25)
+
+
+def _attribute_batches_sql() -> str:
+    return """
+WITH ids AS (SELECT DISTINCT c_custkey::VARCHAR AS id FROM customer
+             WHERE c_mktsegment = 'BUILDING'),
+rk AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk FROM ids)
+SELECT (rk // 25)::BIGINT AS batch, count(*)::BIGINT AS n_ids,
+       string_agg(id, ',' ORDER BY id) AS ids
+FROM rk GROUP BY 1
+"""
+
+
+def q70_patent_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer-explorer patent shape (reference patent.py:27-47 + :71):
+    per-(entity, patent-office) distinct-patent counts over US/EP/WO/Others
+    with separator normalization applied before the distinct (the
+    reference's documented WO-03078408-A1 == WO03078408A1 dedup). Patent
+    codes are derived deterministically from lineitem so both engines see
+    identical raw inputs, including dashed/undashed variants of the SAME
+    patent."""
+    from pybiodatafuse_spark.operators.explorer import patent_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    office = (
+        F.when(F.col("l_suppkey") % 5 == 0, F.lit("US"))
+        .when(F.col("l_suppkey") % 5 == 1, F.lit("EP"))
+        .when(F.col("l_suppkey") % 5 == 2, F.lit("WO"))
+        .when(F.col("l_suppkey") % 5 == 3, F.lit("JP"))
+        .otherwise(F.lit("DE"))
+    )
+    dashed = F.col("l_linenumber") % 2 == 0
+    raw = F.concat(
+        office,
+        F.when(dashed, F.lit("-")).otherwise(F.lit("")),
+        (F.col("l_orderkey") % 997).cast("string"),
+        F.when(dashed, F.lit("-A1")).otherwise(F.lit("A1")),
+    )
+    base = li.select(
+        (F.col("l_partkey") % 50).cast("string").alias("entity"),
+        raw.alias("patent_raw"),
+    )
+    return patent_summary(base, "entity", "patent_raw")
+
+
+def _patent_summary_sql() -> str:
+    return """
+WITH base AS (
+  SELECT (l_partkey % 50)::VARCHAR AS entity,
+         CASE l_suppkey % 5 WHEN 0 THEN 'US' WHEN 1 THEN 'EP' WHEN 2 THEN 'WO'
+              WHEN 3 THEN 'JP' ELSE 'DE' END
+         || CASE WHEN l_linenumber % 2 = 0 THEN '-' ELSE '' END
+         || (l_orderkey % 997)::VARCHAR
+         || CASE WHEN l_linenumber % 2 = 0 THEN '-A1' ELSE 'A1' END AS patent_raw
+  FROM lineitem),
+d AS (SELECT DISTINCT entity,
+        CASE WHEN substr(regexp_replace(upper(patent_raw), '[-/ ]', '', 'g'), 1, 2)
+                  IN ('US','EP','WO')
+             THEN substr(regexp_replace(upper(patent_raw), '[-/ ]', '', 'g'), 1, 2)
+             ELSE 'Others' END AS office,
+        regexp_replace(upper(patent_raw), '[-/ ]', '', 'g') AS patent
+      FROM base)
+SELECT entity, office, count(*)::BIGINT AS n_patents FROM d GROUP BY 1, 2
+"""
+
+
 def _weighted_sample_sql() -> str:
     h = _h64_sql("doc_id::VARCHAR")
     return f"""
@@ -2180,6 +2297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_regional_revenue": q65_regional_revenue,
         "q66_edge_delta": q66_edge_delta,
         "q67_weighted_sample": q67_weighted_sample,
+        "q68_anf_accuracy": q68_anf_accuracy,
+        "q69_attribute_batches": q69_attribute_batches,
+        "q70_patent_summary": q70_patent_summary,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_regex_classify": q03_regex_classify,
@@ -2488,4 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_regional_revenue": _regional_revenue_sql(),
         "q66_edge_delta": _edge_delta_sql(),
         "q67_weighted_sample": _weighted_sample_sql(),
+        "q68_anf_accuracy": _anf_accuracy_sql(),
+        "q69_attribute_batches": _attribute_batches_sql(),
+        "q70_patent_summary": _patent_summary_sql(),
     }

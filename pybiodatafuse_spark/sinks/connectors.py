@@ -156,6 +156,72 @@ CYTOSCAPE_STYLE = {
     "defaults": {"NODE_FILL_COLOR": "#808080", "EDGE_TARGET_ARROW_SHAPE": "ARROW"},
 }
 
+# the reference cycles every node type through a fixed shape vocabulary
+# (constants.py:1319-1338 ALL_NODE_LABELS values)
+CYTOSCAPE_SHAPES = [
+    "ELLIPSE", "HEXAGON", "DIAMOND", "RECTANGLE", "ROUND_RECTANGLE", "OCTAGON",
+]
+
+
+def cytoscape_style(vertices: DataFrame, *, style_name: str = "BioDataFuse_style") -> dict:
+    """Full visual-style payload with per-node-type discrete mappings —
+    the Spark restatement of the reference's style application
+    (graph/cytoscape.py:83-117: create_visual_style defaults +
+    set_node_color_mapping / set_node_shape_mapping keyed on ``node_type``
+    + set_node_label_mapping on ``labels``).
+
+    The reference hardcodes a biological type→color/shape table
+    (constants.py ALL_NODE_LABELS / COLOR_MAPPER); a generic link graph has
+    an open type vocabulary, so the distinct types are computed DISTRIBUTED
+    (one column-pruned distinct over the vertex table) and each type gets a
+    deterministic md5-derived color plus a shape cycled from the
+    reference's shape vocabulary. The payload stays O(#types)."""
+    import hashlib
+
+    types = [
+        r["type"]
+        for r in vertices.select("type")
+        .where(F.col("type").isNotNull())
+        .distinct()
+        .orderBy("type")
+        .collect()
+    ]
+
+    def color(t: str) -> str:
+        return "#" + hashlib.md5(t.encode("utf-8")).hexdigest()[:6]
+
+    mappings = [
+        {
+            "mappingType": "discrete",
+            "mappingColumn": "node_type",
+            "mappingColumnType": "String",
+            "visualProperty": "NODE_FILL_COLOR",
+            "map": [{"key": t, "value": color(t)} for t in types],
+        },
+        {
+            "mappingType": "discrete",
+            "mappingColumn": "node_type",
+            "mappingColumnType": "String",
+            "visualProperty": "NODE_SHAPE",
+            "map": [
+                {"key": t, "value": CYTOSCAPE_SHAPES[i % len(CYTOSCAPE_SHAPES)]}
+                for i, t in enumerate(types)
+            ],
+        },
+        {
+            # reference cytoscape.py:111-113 set_node_label_mapping(LABEL)
+            "mappingType": "passthrough",
+            "mappingColumn": "label",
+            "mappingColumnType": "String",
+            "visualProperty": "NODE_LABEL",
+        },
+    ]
+    return {
+        "title": style_name,
+        "defaults": dict(CYTOSCAPE_STYLE["defaults"]),
+        "mappings": mappings,
+    }
+
 
 def _default_cytoscape_transport(*_args, **_kwargs):
     raise ImportError(
@@ -232,4 +298,4 @@ def push_cytoscape(
         "elements": {"nodes": grouped["nodes"], "edges": grouped["edges"]},
     }
     transport(f"{base_url}/networks", payload)
-    transport(f"{base_url}/styles", CYTOSCAPE_STYLE)
+    transport(f"{base_url}/styles", cytoscape_style(vertices))

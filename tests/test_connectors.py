@@ -116,6 +116,18 @@ def test_cytoscape_payload_and_style(spark, graph):
     assert isinstance(edges_p[0]["data"]["source"], str)
     style = calls[1][1]
     assert style["defaults"]["NODE_FILL_COLOR"] == "#808080"
+    # per-node-type discrete mappings (reference cytoscape.py:83-117:
+    # color + shape keyed on node_type, passthrough label)
+    by_prop = {m["visualProperty"]: m for m in style["mappings"]}
+    assert set(by_prop) == {"NODE_FILL_COLOR", "NODE_SHAPE", "NODE_LABEL"}
+    color_map = {e["key"]: e["value"] for e in by_prop["NODE_FILL_COLOR"]["map"]}
+    assert set(color_map) == {"even", "odd"}
+    assert all(v.startswith("#") and len(v) == 7 for v in color_map.values())
+    shape_map = {e["key"]: e["value"] for e in by_prop["NODE_SHAPE"]["map"]}
+    assert set(shape_map.values()) <= {
+        "ELLIPSE", "HEXAGON", "DIAMOND", "RECTANGLE", "ROUND_RECTANGLE", "OCTAGON",
+    }
+    assert by_prop["NODE_LABEL"]["mappingType"] == "passthrough"
     assert set(els) == {"nodes", "edges"}
 
 
