@@ -7,7 +7,11 @@ from pybiodatafuse_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pybiodatafuse-tests", master="local[4]", shuffle_partitions=8)
+    # 4 shuffle partitions: every superstep stage schedules half the tasks
+    # of the old 8 — results are partition-count-independent (asserted by
+    # the oracle-differential tests themselves), and on the tiny test graphs
+    # task dispatch, not compute, is the wall-clock
+    s = get_spark("pybiodatafuse-tests", master="local[4]", shuffle_partitions=4)
     yield s
 
 

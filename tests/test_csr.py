@@ -20,8 +20,8 @@ def graph(spark, pages_df):
 
 def test_csr_matches_dataframe_path(spark, graph):
     verts, edges = graph
-    a = pagerank(spark, edges, verts, tol=None, max_iter=15, hub_threshold=5)
-    b = pagerank_csr(spark, edges, verts, tol=None, max_iter=15, num_blocks=8)
+    a = pagerank(spark, edges, verts, tol=None, max_iter=8, hub_threshold=5)
+    b = pagerank_csr(spark, edges, verts, tol=None, max_iter=8, num_blocks=8)
     ra = {r["id"]: r["rank"] for r in a.state.select("id", "rank").collect()}
     rb = {r["id"]: r["rank"] for r in b.state.select("id", "rank").collect()}
     assert ra.keys() == rb.keys()

@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 spark = (SparkSession.builder.master("local-cluster[2,2,1500]")
   .appName("mx-test")
-  .config("spark.sql.shuffle.partitions","8")
+  .config("spark.sql.shuffle.partitions","4")
   .config("spark.executor.memory","1200m")
   .config("spark.python.worker.reuse","true")
   .getOrCreate())
@@ -31,7 +31,7 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile({zip_path!r})
 from pybiodatafuse_spark.datagen import generate_pages
 from pybiodatafuse_spark.operators.edges import build_edges, build_vertices
-pages = generate_pages(spark, 5000, partitions=4)
+pages = generate_pages(spark, 2500, partitions=4)
 verts = build_vertices(pages).persist()
 edges = build_edges(pages, verts).persist()
 ne = edges.count()

@@ -52,13 +52,13 @@ def _max_diff(got, want):
 
 def test_fixed_iteration_equivalence(spark, graph):
     verts, edges, page_to_id = graph
-    res = pagerank(spark, edges, verts, tol=None, max_iter=25, hub_threshold=5)
+    res = pagerank(spark, edges, verts, tol=None, max_iter=12, hub_threshold=5)
     got = {r["id"]: r["rank"] for r in res.state.select("id", "rank").collect()}
     want = pagerank_oracle(
-        oracle_edges(N, page_to_id), set(page_to_id.values()), tol=0.0, max_iter=25
+        oracle_edges(N, page_to_id), set(page_to_id.values()), tol=0.0, max_iter=12
     )
     assert _max_diff(got, want) < 1e-12
-    assert res.supersteps == 25 and not res.converged
+    assert res.supersteps == 12 and not res.converged
 
 
 def test_convergence_north_rule(spark, converged):
@@ -84,10 +84,10 @@ def test_top_ranks_hub_first(spark, converged, graph):
 def test_salting_does_not_change_result(spark, graph):
     verts, edges, _ = graph
     unsalted = pagerank(
-        spark, edges, verts, tol=None, max_iter=12, hub_threshold=10**9, num_salts=1
+        spark, edges, verts, tol=None, max_iter=8, hub_threshold=10**9, num_salts=1
     )
     salted = pagerank(
-        spark, edges, verts, tol=None, max_iter=12, hub_threshold=2, num_salts=4
+        spark, edges, verts, tol=None, max_iter=8, hub_threshold=2, num_salts=4
     )
     a = {r["id"]: r["rank"] for r in unsalted.state.select("id", "rank").collect()}
     b = {r["id"]: r["rank"] for r in salted.state.select("id", "rank").collect()}
@@ -135,25 +135,29 @@ def test_warm_start_converges_fast_and_exact(spark, graph, converged):
     assert _max_diff(warm_got, truth) < 1e-5
 
 
-def test_warm_start_with_new_vertices_matches_cold(spark, graph):
+def test_warm_start_with_new_vertices_matches_cold(spark, graph, converged):
     """Warm start over a GROWN graph (new edges + vertices vs the prior
-    vector) reaches the same fixpoint as a cold start."""
+    vector) reaches the same fixpoint as a cold start. The prior vector is
+    the module's already-converged tol=1e-6 run (shared fixture — no third
+    full convergence here)."""
     verts, edges, page_to_id = graph
-    base = pagerank(spark, edges, verts, tol=1e-8, max_iter=200, hub_threshold=5)
+    base, _, _ = converged
     extra = spark.createDataFrame(
         [(10_000_001, 10_000_002, 1.0, 1), (10_000_002, 10_000_001, 1.0, 1)],
         "src long, dst long, weight double, etype int",
     )
     grown = edges.select("src", "dst", "weight", "etype").unionByName(extra)
-    cold = pagerank(spark, grown, tol=1e-8, max_iter=200, hub_threshold=5)
+    cold = pagerank(spark, grown, tol=1e-5, max_iter=200, hub_threshold=5)
     warmr = pagerank(
-        spark, grown, tol=1e-8, max_iter=200, hub_threshold=5,
+        spark, grown, tol=1e-5, max_iter=200, hub_threshold=5,
         init_ranks=base.state.select("id", "rank"),
     )
     cold_got = {r["id"]: r["rank"] for r in cold.state.collect()}
     warm_got = {r["id"]: r["rank"] for r in warmr.state.collect()}
     assert cold_got.keys() == warm_got.keys()
-    assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-6
+    # both runs stop at L1 delta < 1e-5, so the two fixpoint approximations
+    # agree to ~tol/(1-d); the warm start must land there in fewer steps
+    assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-4
     assert warmr.supersteps < cold.supersteps
 
 

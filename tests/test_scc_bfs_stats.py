@@ -256,3 +256,64 @@ def test_diameter_lower_bound(spark):
     # cycle of 5: eccentricity 4 from any start
     cyc = [(i, (i + 1) % 5) for i in range(5)]
     assert diameter_lower_bound(spark, _edge_df(spark, cyc)) == 4
+
+
+def test_scc_long_cycle_no_silent_split(spark):
+    """Regression (round-3 advice): a directed cycle longer than any fixed
+    inner-loop cap is ONE SCC — the coloring loop must run to fixpoint, and
+    an insufficient explicit cap must RAISE, never silently split the
+    component into singletons."""
+    from pybiodatafuse_spark.plans.scc import strongly_connected_components
+
+    n = 14
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    got = {
+        r["id"]: r["scc"]
+        for r in strongly_connected_components(spark, _edge_df(spark, cyc)).collect()
+    }
+    assert got == {i: 0 for i in range(n)}  # one SCC rooted at min id
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(
+            spark, _edge_df(spark, cyc), max_inner=5
+        )
+
+
+def test_bfs_truncation_contract(spark):
+    """bfs_distances raises when the frontier would expand past max_hops
+    unless allow_truncate=True, in which case distances ≤ max_hops are
+    returned complete."""
+    from pybiodatafuse_spark.plans.bfs import bfs_distances
+
+    chain = [(i, i + 1) for i in range(8)]
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(RuntimeError, match="still expanding"):
+        bfs_distances(spark, _edge_df(spark, chain), seeds, max_hops=3)
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            spark, _edge_df(spark, chain), seeds, max_hops=3, allow_truncate=True
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # a cap at/after the reachability fixpoint is not truncation: no raise
+    full = bfs_distances(spark, _edge_df(spark, chain), seeds, max_hops=8)
+    assert full.count() == 9
+
+
+def test_clustering_includes_isolated_vertices(spark):
+    """Regression (round-3 advice): with an explicit vertex table, isolated
+    and self-loop-only vertices appear with deg=0, coeff=0.0 (the reference
+    networkx summarize path reports every node)."""
+    from pybiodatafuse_spark.operators.graphstats import clustering_coefficients
+
+    tri = [(1, 2), (2, 3), (3, 1), (9, 9)]  # triangle + self-loop-only 9
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 9, 50)], "id long")
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["coeff"])
+        for r in clustering_coefficients(
+            spark, _edge_df(spark, tri), verts
+        ).collect()
+    }
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    assert got[9] == (0, 0, 0.0)
+    assert got[50] == (0, 0, 0.0)
