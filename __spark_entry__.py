@@ -2013,6 +2013,43 @@ SELECT entity, office, count(*)::BIGINT AS n_patents FROM d GROUP BY 1, 2
 """
 
 
+def q71_diameter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-BFS-sweep directed diameter lower bound (plans/bfs.py
+    diameter_lower_bound, Magnien/Latapy/Habib): BFS from the min-id vertex,
+    re-BFS from the farthest reached vertex (ties → min id), report the max
+    eccentricity seen. Runs on the sparsified subset (non-trivial
+    reachability structure)."""
+    from pybiodatafuse_spark.plans.bfs import diameter_lower_bound
+
+    e = _sparse_edges(spark, sf_dir)
+    lb = diameter_lower_bound(spark, e)
+    return spark.createDataFrame([(int(lb),)], "diameter_lb long")
+
+
+def _diameter_bound_sql() -> str:
+    return (
+        f"WITH RECURSIVE edges_d AS ({_SPARSE_EDGES_SQL}),\n"
+        f"verts AS ({_SPARSE_VERTS_SQL}),\n"
+        "b1(id, d) AS (\n"
+        "  SELECT min(id), 0 FROM verts\n"
+        "  UNION\n"
+        "  SELECT e.dst, b1.d + 1 FROM b1 JOIN edges_d e ON b1.id = e.src\n"
+        "  WHERE b1.d < 300\n"
+        "),\n"
+        "m1 AS (SELECT id, min(d) AS d FROM b1 GROUP BY id),\n"
+        "far AS (SELECT id, d FROM m1 ORDER BY d DESC, id ASC LIMIT 1),\n"
+        "b2(id, d) AS (\n"
+        "  SELECT id, 0 FROM far\n"
+        "  UNION\n"
+        "  SELECT e.dst, b2.d + 1 FROM b2 JOIN edges_d e ON b2.id = e.src\n"
+        "  WHERE b2.d < 300\n"
+        "),\n"
+        "m2 AS (SELECT id, min(d) AS d FROM b2 GROUP BY id)\n"
+        "SELECT greatest((SELECT d FROM far), (SELECT max(d) FROM m2))::BIGINT"
+        " AS diameter_lb"
+    )
+
+
 def _weighted_sample_sql() -> str:
     h = _h64_sql("doc_id::VARCHAR")
     return f"""
@@ -2300,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_anf_accuracy": q68_anf_accuracy,
         "q69_attribute_batches": q69_attribute_batches,
         "q70_patent_summary": q70_patent_summary,
+        "q71_diameter_bound": q71_diameter_bound,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_regex_classify": q03_regex_classify,
@@ -2611,4 +2649,5 @@ def oracle_sql() -> dict[str, str]:
         "q68_anf_accuracy": _anf_accuracy_sql(),
         "q69_attribute_batches": _attribute_batches_sql(),
         "q70_patent_summary": _patent_summary_sql(),
+        "q71_diameter_bound": _diameter_bound_sql(),
     }
