@@ -141,7 +141,10 @@ def harmonic_centrality(
 
     One labeled multi-origin BFS: state = (s, id, dist) pairs, frontier =
     pairs added last hop; the edge list is pinned on the join key once, so
-    each hop shuffles only the O(frontier) pair set.
+    each hop shuffles only the O(frontier) pair set. Like
+    :func:`bfs_distances`, runs to the reachability fixpoint and raises if
+    pairs would still be expanding past ``max_hops`` unless
+    ``allow_truncate=True`` (bounded-radius estimator mode).
     """
     with no_aqe(spark):
         e = _pin_edges(edges, "src")

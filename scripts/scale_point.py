@@ -4,12 +4,18 @@ per-edge throughput. Extends the BENCH/BASELINE.md scale-ramp table (1M /
 4M / 16M pages) to larger snapshots — the measured answer to "does per-edge
 cost stay flat as the snapshot grows".
 
-    python scripts/scale_point.py [n_pages] [steps]
+    python scripts/scale_point.py [n_pages] [steps] [df|csr|both]
 
 Defaults: 40,000,000 pages (~271M edges, 10x the scaling snapshot), 6
-supersteps per path. Prints one JSON line per path as it completes (same
-timeout-safe emission contract as bench.py).
-"""
+supersteps per path, both paths. Prints one JSON line per path as it
+completes (same timeout-safe emission contract as bench.py).
+
+Memory note for very large N on one box: the DataFrame path wants a big
+JVM heap (`SPARK_GRAFT_DRIVER_MEM`), while the CSR path ALSO holds
+per-Python-worker block caches OUTSIDE the heap (~16 B/edge spread over
+`SPARK_GRAFT_CPUS` workers) — at 271M edges run the two paths in separate
+invocations so heap + worker caches never coexist at peak (the combined
+run at 90g heap was OOM-killed by the OS during the CSR phase)."""
 
 from __future__ import annotations
 
@@ -25,6 +31,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    which = sys.argv[3] if len(sys.argv) > 3 else "both"
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from bench import CACHE_ROOT, calibrate, ensure_graph_cache
@@ -44,6 +51,16 @@ def main() -> None:
         "calib_start": round(calibrate(), 3),
     }
 
+    if which in ("df", "both"):
+        _run_dataframe(spark, edges, verts, n_edges, steps, base)
+    if which in ("csr", "both"):
+        _run_csr(spark, edges, verts, n_edges, steps, base)
+    edges.unpersist()
+    spark.stop()
+
+
+def _run_dataframe(spark, edges, verts, n_edges, steps, base) -> None:
+    from bench import calibrate
     from pybiodatafuse_spark.plans.pagerank import pagerank
 
     t0 = time.monotonic()
@@ -66,6 +83,9 @@ def main() -> None:
     })
     print(json.dumps(out), flush=True)
 
+
+def _run_csr(spark, edges, verts, n_edges, steps, base) -> None:
+    from bench import calibrate
     from pybiodatafuse_spark.plans.csr import pagerank_csr
 
     t0 = time.monotonic()
@@ -87,8 +107,6 @@ def main() -> None:
     else:
         out2["edges_per_sec_wall"] = round(n_edges * steps / wall2)
     print(json.dumps(out2), flush=True)
-    edges.unpersist()
-    spark.stop()
 
 
 if __name__ == "__main__":
