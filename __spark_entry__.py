@@ -1666,14 +1666,26 @@ def q56_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neighborhood3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-hop closure sizes, computed once per session — consumed by
+    q57 (the exact gate) and q68 (the ANF accuracy gate)."""
+    from pybiodatafuse_spark.plans.bfs import neighborhood_sizes
+
+    return _shared(
+        spark,
+        sf_dir,
+        "neighborhood3",
+        lambda: neighborhood_sizes(
+            spark, _derived_edges(spark, sf_dir), hops=3
+        ).select("id", "n_within"),
+    )
+
+
 def q57_neighborhood3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-hop neighborhood function N(v,3) (self included). The HLL
     scale path (plans/bfs.anf_hll) is accuracy-tested against this exact
-    operator in tests/test_scc_bfs_stats.py."""
-    from pybiodatafuse_spark.plans.bfs import neighborhood_sizes
-
-    e = _derived_edges(spark, sf_dir)
-    return neighborhood_sizes(spark, e, hops=3).select("id", "n_within")
+    operator in tests/test_scc_bfs_stats.py and gated against it in q68."""
+    return _neighborhood3(spark, sf_dir)
 
 
 def q58_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,10 +1917,10 @@ def q68_anf_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the violation count is stable; the oracle computes n_vertices from the
     recursive closure and asserts the violation count is ZERO — a real
     accuracy gate on the sketch path, which is what runs at 10^12 pages."""
-    from pybiodatafuse_spark.plans.bfs import anf_hll, neighborhood_sizes
+    from pybiodatafuse_spark.plans.bfs import anf_hll
 
     e = _derived_edges(spark, sf_dir)
-    exact = neighborhood_sizes(spark, e, hops=3)
+    exact = _neighborhood3(spark, sf_dir)
     est = anf_hll(spark, e, hops=3, lgk=11)
     bad = (
         F.abs(F.col("n_est") - F.col("n_within"))
