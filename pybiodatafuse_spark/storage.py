@@ -233,7 +233,138 @@ class Storage:
                 f"no snapshot of {name} at snapshot_id={snapshot_id} as_of={as_of}"
             )
         base = self.table_path(name)
-        return spark.read.parquet(*[os.path.join(base, s["dir"]) for s in snaps])
+        return spark.read.parquet(
+            *[os.path.join(base, s["dir"]) for s in self._live_slice(snaps)]
+        )
+
+    @staticmethod
+    def _live_slice(snaps: list[dict]) -> list[dict]:
+        """The snapshot entries whose data dirs constitute the table state at
+        ``snaps[-1]``: everything from the most recent REWRITE snapshot
+        (``base: true`` — a compaction that materialized the full state) to
+        the end; all of them when no rewrite precedes."""
+        for i in range(len(snaps) - 1, -1, -1):
+            if snaps[i].get("base"):
+                return snaps[i:]
+        return snaps
+
+    # --- table maintenance (Iceberg rewrite_data_files / expire_snapshots) --
+
+    def file_stats(self, name: str) -> dict:
+        """(n_files, bytes) over the data dirs of the CURRENT live slice —
+        the small-file pressure gauge that decides when to compact."""
+        snaps = self._live_slice(self.snapshots(name))
+        base = self.table_path(name)
+        n_files = total = 0
+        for s in snaps:
+            d = os.path.join(base, s["dir"])
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(d, f))
+        return {"n_files": n_files, "bytes": total, "n_snapshots": len(snaps)}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite the table's current state into one new snapshot with
+        ~``target_file_bytes`` files (Iceberg's ``rewrite_data_files`` bin
+        packing). Append-heavy pipelines (per-superstep metric rows, daily
+        crawl deltas) otherwise accrete one small file set per commit and
+        the scan's task count grows with HISTORY instead of data.
+
+        The commit is a normal atomic pointer swap with ``base: true`` —
+        readers at the new snapshot scan ONLY the compacted files, while
+        time travel to any pre-compaction snapshot still sees the original
+        dirs (which remain on disk until :meth:`expire_snapshots`). Returns
+        the new snapshot id.
+
+        In ``iceberg`` mode call the catalog's
+        ``system.rewrite_data_files`` procedure instead (needs runtime jars).
+        """
+        if self.table_format == "iceberg":
+            self._require_iceberg(spark)
+            ident = self._iceberg_ident(name)
+            spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{ident}', "
+                f"options => map('target-file-size-bytes', '{target_file_bytes}'))"
+            )
+            last = spark.sql(
+                f"SELECT max(snapshot_id) AS s FROM {ident}.snapshots"
+            ).first()
+            return int(last["s"])
+        stats = self.file_stats(name)
+        df = self.read_table(spark, name)
+        n_out = max(1, -(-stats["bytes"] // target_file_bytes))  # ceil
+        base = self.table_path(name)
+        data_dir = os.path.join(base, f"snap-{uuid.uuid4().hex[:12]}")
+        df.coalesce(n_out).write.mode("overwrite").parquet(data_dir)
+        with self._commit_lock(name):
+            snaps = self.snapshots(name)
+            snap_id = (snaps[-1]["id"] + 1) if snaps else 1
+            snaps.append(
+                {
+                    "id": snap_id,
+                    "ts": datetime.now(timezone.utc).isoformat(),
+                    "dir": os.path.basename(data_dir),
+                    "base": True,
+                }
+            )
+            tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"format_version": 1, "snapshots": snaps}, fh)
+            os.replace(tmp, self._metadata_file(name))
+        return snap_id
+
+    def expire_snapshots(self, name: str, *, keep_last: int = 1) -> list[int]:
+        """Drop snapshot history (Iceberg ``expire_snapshots``): retain the
+        most recent ``keep_last`` snapshots, drop older entries whose data
+        dirs no retained snapshot references, and DELETE those dirs. In this
+        append-delta model an old append's dir stays referenced by every
+        later state until a compaction (``base`` rewrite) supersedes it —
+        so expiration reclaims exactly the pre-compaction history (compact,
+        then expire, is the maintenance pair). Time travel to expired ids
+        stops working — that is the point (bounded metadata + storage).
+        Returns the expired ids.
+
+        Safe interleaving: the log rewrite happens under the commit lock;
+        dir deletion happens after the swap, so a concurrent reader that
+        already resolved paths from the OLD metadata may race a delete —
+        the same live-reader caveat real Iceberg documents for expire.
+        """
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        removed_dirs: list[str] = []
+        expired: list[int] = []
+        with self._commit_lock(name):
+            snaps = self.snapshots(name)
+            if len(snaps) <= keep_last:
+                return []
+            kept = snaps[-keep_last:]
+            # dirs still needed: union of live slices of every kept snapshot
+            needed = set()
+            for i in range(len(kept)):
+                prefix = snaps[: len(snaps) - keep_last + i + 1]
+                for s in self._live_slice(prefix):
+                    needed.add(s["dir"])
+            dropped = [s for s in snaps[:-keep_last] if s["dir"] not in needed]
+            expired = [s["id"] for s in dropped]
+            removed_dirs = [s["dir"] for s in dropped]
+            new_log = [s for s in snaps if s["id"] not in set(expired)]
+            tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"format_version": 1, "snapshots": new_log}, fh)
+            os.replace(tmp, self._metadata_file(name))
+        import shutil
+
+        for d in removed_dirs:
+            shutil.rmtree(os.path.join(self.table_path(name), d), ignore_errors=True)
+        return expired
 
     # --- run metadata (provenance; reference utils.py:43-78 analogue) --------
 

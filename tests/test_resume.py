@@ -100,3 +100,61 @@ def test_iceberg_mode_is_honest(spark, tmp_path):
         st.append(df, "t")
     with pytest.raises(RuntimeError, match="spark.sql.catalog.prod"):
         st.read_table(spark, "t")
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Iceberg maintenance pair: compaction rewrites the live state into one
+    base snapshot (same rows, fewer files); expiration then reclaims exactly
+    the superseded pre-compaction dirs while time travel to retained
+    snapshots keeps working."""
+    import os
+
+    st = Storage(str(tmp_path / "store"))
+    for lo in (0, 10, 20):
+        st.append(
+            spark.createDataFrame([(i,) for i in range(lo, lo + 10)], "v long"),
+            "t",
+        )
+    before = st.file_stats("t")
+    assert before["n_snapshots"] == 3
+    want = set(range(30))
+
+    snap4 = st.compact(spark, "t")
+    assert snap4 == 4
+    after = st.file_stats("t")
+    # live slice is now the single base snapshot, bin-packed
+    assert after["n_snapshots"] == 1
+    assert after["n_files"] < before["n_files"]
+    got = {r["v"] for r in st.read_table(spark, "t").collect()}
+    assert got == want
+    # time travel BEFORE the compaction still reads the original dirs
+    got2 = {r["v"] for r in st.read_table(spark, "t", snapshot_id=2).collect()}
+    assert got2 == set(range(20))
+
+    # pure-append history without a base is never expirable (dirs still
+    # referenced by the latest state)
+    st2 = Storage(str(tmp_path / "store2"))
+    st2.append(spark.createDataFrame([(1,)], "v long"), "u")
+    st2.append(spark.createDataFrame([(2,)], "v long"), "u")
+    assert st2.expire_snapshots("u", keep_last=1) == []
+
+    # expiring after compaction drops snapshots 1-3 and deletes their dirs
+    dirs_before = {
+        s["dir"]: s["id"] for s in st.snapshots("t")
+    }
+    expired = st.expire_snapshots("t", keep_last=1)
+    assert expired == [1, 2, 3]
+    assert [s["id"] for s in st.snapshots("t")] == [4]
+    for d, sid in dirs_before.items():
+        exists = os.path.isdir(os.path.join(st.table_path("t"), d))
+        assert exists == (sid == 4)
+    # the retained state is intact; expired time travel is gone
+    assert {r["v"] for r in st.read_table(spark, "t").collect()} == want
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        st.read_table(spark, "t", snapshot_id=2)
+
+    # appends stack on top of the base as usual
+    st.append(spark.createDataFrame([(99,)], "v long"), "t")
+    assert {r["v"] for r in st.read_table(spark, "t").collect()} == want | {99}
