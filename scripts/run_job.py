@@ -50,7 +50,7 @@ def main(argv=None):
     p.add_argument("algorithm", choices=[
         "pagerank", "pagerank_csr", "components", "labelprop", "triangles",
         "summary", "resume", "rdf", "scc", "bowtie", "hits", "kcore",
-        "anf", "scalars",
+        "anf", "scalars", "compact", "expire",
     ])
     p.add_argument("--pages", help="pages table path (runs extraction)")
     p.add_argument("--edges", help="prebuilt edge table path")
@@ -70,6 +70,11 @@ def main(argv=None):
     )
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--master", default=None)
+    p.add_argument("--table", help="storage table name (compact/expire)")
+    p.add_argument("--keep-last", type=int, default=1,
+                   help="snapshots to retain for the expire job")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="compaction bin-pack target file size")
     args = p.parse_args(argv)
 
     from pybiodatafuse_spark.session import get_spark
@@ -77,6 +82,26 @@ def main(argv=None):
 
     spark = get_spark("bdf-" + args.algorithm, master=args.master)
     storage = Storage(args.store) if args.store else None
+
+    if args.algorithm in ("compact", "expire"):
+        # table maintenance: no graph build — operate on the storage table
+        if not (storage and args.table):
+            p.error(f"{args.algorithm} requires --store and --table")
+        info = {"table": args.table, "before": storage.file_stats(args.table)}
+        if args.algorithm == "compact":
+            info["snapshot_id"] = storage.compact(
+                spark, args.table,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+            )
+        else:
+            info["expired"] = storage.expire_snapshots(
+                args.table, keep_last=args.keep_last
+            )
+        info["after"] = storage.file_stats(args.table)
+        print(json.dumps(info))
+        spark.stop()
+        return
+
     verts, edges = _build_graph(spark, args)
     result_df, info = None, {}
 
