@@ -42,7 +42,13 @@ _SHARED: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _shared(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    ck = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict entries from stopped sessions: their checkpointed blocks are gone
+    # with the old executors, and keying by applicationId would otherwise
+    # retain one generation of DataFrames per session for the process lifetime
+    for stale in [k for k in _SHARED if k[0] != app]:
+        _SHARED.pop(stale, None)
+    ck = (app, sf_dir, key)
     df = _SHARED.get(ck)
     if df is None:
         df = build().localCheckpoint(eager=True)
@@ -823,6 +829,63 @@ def q49_shacl_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return shacl_shapes(v, e, attrs={"label": "string"}).select("triple")
+
+
+def q72_shex_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 tail, part 2 — ShEx schema export (the reference's shexer-backed
+    ``Graph.shex``, graph/rdf/rdf.py:1135-1163): the SAME frequency-mined
+    shape data as q49, serialized as ShExC shape declarations — per node
+    type one (shape, shex) row, constraint accepted at threshold 0.001,
+    cardinality `+` exactly on total coverage (the sh:minCount 1 rule),
+    else `*`. Same deterministic graph as q45/q49; serialization is a pure
+    column projection."""
+    from pybiodatafuse_spark.sinks.rdf import shex_shapes
+
+    e = _derived_edges(spark, sf_dir).where((F.col("src") < 30) & (F.col("dst") < 30))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.concat(F.lit("node "), F.col("id").cast("string")).alias("label"),
+            F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("type"),
+        )
+    )
+    return shex_shapes(v, e, attrs={"label": "string"}).select("shape", "shex")
+
+
+def _shex_sql() -> str:
+    """q72 oracle: the same mining + ShExC serialization in plain SQL
+    (concat_ws skips the NULL of a rejected constraint, exactly as
+    array_join does Spark-side)."""
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    return f"""
+WITH edges_d AS (SELECT * FROM ({_EDGES_SQL}) WHERE src < 30 AND dst < 30),
+verts AS (
+  SELECT id, 'node ' || id AS label,
+         CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS typ
+  FROM ({_VERTS_SQL})
+),
+agg AS (
+  SELECT typ, count(*)::DOUBLE AS n, count(label)::DOUBLE AS c_label,
+         sum(CASE WHEN EXISTS (SELECT 1 FROM edges_d e WHERE e.src = v.id)
+             THEN 1 ELSE 0 END)::DOUBLE AS c_out
+  FROM verts v GROUP BY typ
+)
+SELECT 'urn:bdf:shape:' || typ AS shape,
+       '<urn:bdf:shape:' || typ || '> {{' || chr(10) ||
+       concat_ws(' ;' || chr(10),
+         CASE WHEN c_label / n >= 0.001
+              THEN '  <{rdfs_label}> <{xsd_s}> '
+                   || (CASE WHEN c_label = n THEN '+' ELSE '*' END) END,
+         CASE WHEN c_out / n >= 0.001
+              THEN '  <urn:bdf:pred:links_to> IRI '
+                   || (CASE WHEN c_out = n THEN '+' ELSE '*' END) END
+       ) || chr(10) || '}}' AS shex
+FROM agg
+"""
 
 
 def _shacl_sql() -> str:
@@ -2324,32 +2387,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # r3's driver correctness run recorded rows for only the first 50
-        # registry entries — the q51+ gates, green under the local oracle
-        # replica, never got a driver row. Run order = insertion order, so
-        # the driver-unverified gates go FIRST this round; every other gate
-        # already has a green driver row in CORRECTNESS_r03.
-        "q51_kcore3": q51_kcore3,
-        "q52_host_rollup": q52_host_rollup,
-        "q53_ppr5": q53_ppr5,
-        "q54_scc": q54_scc,
-        "q55_bfs_seeds": q55_bfs_seeds,
-        "q56_clustering": q56_clustering,
-        "q57_neighborhood3": q57_neighborhood3,
-        "q58_adamic_adar": q58_adamic_adar,
-        "q59_graph_scalars": q59_graph_scalars,
-        "q60_bowtie": q60_bowtie,
-        "q61_harmonic": q61_harmonic,
-        "q62_contamination": q62_contamination,
-        "q63_token_percentiles": q63_token_percentiles,
-        "q64_modularity": q64_modularity,
-        "q65_regional_revenue": q65_regional_revenue,
-        "q66_edge_delta": q66_edge_delta,
-        "q67_weighted_sample": q67_weighted_sample,
-        "q68_anf_accuracy": q68_anf_accuracy,
-        "q69_attribute_batches": q69_attribute_batches,
-        "q70_patent_summary": q70_patent_summary,
-        "q71_diameter_bound": q71_diameter_bound,
+        # ROTATION POLICY: the driver's correctness run records rows for
+        # only the FIRST 50 registry entries (run order = insertion order);
+        # the registry has 72. Each round the gates with the STALEST driver
+        # row rotate to the front. Round 5: q30–q50 lead (their last driver
+        # rows are r3 — every other gate is green in CORRECTNESS_r04),
+        # followed by the new q72 gate, then q01–q29 (green r4 rows);
+        # q51–q71 (green r4 rows) take the back.
+        "q30_events_hourly": q30_events_hourly,
+        "q31_sessionize": q31_sessionize,
+        "q32_lsh_knn": q32_lsh_knn,
+        "q33_multimodal_features": q33_multimodal_features,
+        "q34_hierarchy_closure": q34_hierarchy_closure,
+        "q35_existence_pairs": q35_existence_pairs,
+        "q36_random_walks": q36_random_walks,
+        "q37_deterministic_sample": q37_deterministic_sample,
+        "q38_rdf_triples": q38_rdf_triples,
+        "q39_ic_similarity": q39_ic_similarity,
+        "q40_pagerank5_csr": q40_pagerank5_csr,
+        "q41_ivf_knn": q41_ivf_knn,
+        "q42_link_prediction": q42_link_prediction,
+        "q43_skipgram_embeddings": q43_skipgram_embeddings,
+        "q44_biased_walks": q44_biased_walks,
+        "q48_node2vec_walks": q48_node2vec_walks,
+        "q45_rdf_full_graph": q45_rdf_full_graph,
+        "q46_near_dup_clusters": q46_near_dup_clusters,
+        "q47_prediction_metrics": q47_prediction_metrics,
+        "q49_shacl_shapes": q49_shacl_shapes,
+        "q50_hits3": q50_hits3,
+        "q72_shex_shapes": q72_shex_shapes,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
         "q03_regex_classify": q03_regex_classify,
@@ -2379,27 +2445,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_ngram_jaccard": q27_ngram_jaccard,
         "q28_knn_bruteforce": q28_knn_bruteforce,
         "q29_embedding_neardup": q29_embedding_neardup,
-        "q30_events_hourly": q30_events_hourly,
-        "q31_sessionize": q31_sessionize,
-        "q32_lsh_knn": q32_lsh_knn,
-        "q33_multimodal_features": q33_multimodal_features,
-        "q34_hierarchy_closure": q34_hierarchy_closure,
-        "q35_existence_pairs": q35_existence_pairs,
-        "q36_random_walks": q36_random_walks,
-        "q37_deterministic_sample": q37_deterministic_sample,
-        "q38_rdf_triples": q38_rdf_triples,
-        "q39_ic_similarity": q39_ic_similarity,
-        "q40_pagerank5_csr": q40_pagerank5_csr,
-        "q41_ivf_knn": q41_ivf_knn,
-        "q42_link_prediction": q42_link_prediction,
-        "q43_skipgram_embeddings": q43_skipgram_embeddings,
-        "q44_biased_walks": q44_biased_walks,
-        "q48_node2vec_walks": q48_node2vec_walks,
-        "q45_rdf_full_graph": q45_rdf_full_graph,
-        "q46_near_dup_clusters": q46_near_dup_clusters,
-        "q47_prediction_metrics": q47_prediction_metrics,
-        "q49_shacl_shapes": q49_shacl_shapes,
-        "q50_hits3": q50_hits3,
+        "q51_kcore3": q51_kcore3,
+        "q52_host_rollup": q52_host_rollup,
+        "q53_ppr5": q53_ppr5,
+        "q54_scc": q54_scc,
+        "q55_bfs_seeds": q55_bfs_seeds,
+        "q56_clustering": q56_clustering,
+        "q57_neighborhood3": q57_neighborhood3,
+        "q58_adamic_adar": q58_adamic_adar,
+        "q59_graph_scalars": q59_graph_scalars,
+        "q60_bowtie": q60_bowtie,
+        "q61_harmonic": q61_harmonic,
+        "q62_contamination": q62_contamination,
+        "q63_token_percentiles": q63_token_percentiles,
+        "q64_modularity": q64_modularity,
+        "q65_regional_revenue": q65_regional_revenue,
+        "q66_edge_delta": q66_edge_delta,
+        "q67_weighted_sample": q67_weighted_sample,
+        "q68_anf_accuracy": q68_anf_accuracy,
+        "q69_attribute_batches": q69_attribute_batches,
+        "q70_patent_summary": q70_patent_summary,
+        "q71_diameter_bound": q71_diameter_bound,
     }
 
 
@@ -2640,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_biased_walks": _biased_walks_sql(),
         "q48_node2vec_walks": _node2vec_walks_sql(),
         "q49_shacl_shapes": _shacl_sql(),
+        "q72_shex_shapes": _shex_sql(),
         "q50_hits3": _hits3_sql(),
         "q51_kcore3": _kcore3_sql(),
         "q52_host_rollup": _host_rollup_sql(),

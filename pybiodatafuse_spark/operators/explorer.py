@@ -86,6 +86,13 @@ def attribute_batches(
             F.array_join(F.array_sort(F.collect_list("id")), ",").alias("ids"),
         )
     )
+    # materialize before releasing rb: the persisted partition assignment is
+    # what makes the pid→offset map valid, so out must be pinned (eager
+    # localCheckpoint) before unpersist — and unpersisting here (rather than
+    # leaving it to the caller, linkpred-style) keeps repeat invocations
+    # from accumulating cached relations for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    rb.unpersist()
     return out
 
 

@@ -152,6 +152,35 @@ def shacl_prefixes(namespaces: dict[str, str] | None = None) -> str:
     ) + "\n"
 
 
+def _shape_stats(
+    vertices: DataFrame,
+    edges: DataFrame | None,
+    attrs: dict[str, str],
+) -> DataFrame:
+    """Shared frequency-mining aggregate for SHACL and ShEx shape export:
+    per node ``type`` the instance count ``_n``, each attribute's non-null
+    count ``_c_<col>``, and (semi-join on the edge table) the has-out-edge
+    count ``_c_out``. ONE groupBy; O(#types) rows."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for col in attrs:
+        aggs.append(F.count(F.col(col)).alias(f"_c_{col}"))
+    agg = vertices.groupBy("type").agg(*aggs)
+    if edges is not None:
+        has_out = (
+            vertices.join(
+                edges.select(F.col("src").alias("id")).dropDuplicates(["id"]),
+                "id",
+                "left_semi",
+            )
+            .groupBy("type")
+            .agg(F.count(F.lit(1)).alias("_c_out"))
+        )
+        agg = agg.join(has_out, "type", "left").withColumn(
+            "_c_out", F.coalesce(F.col("_c_out"), F.lit(0))
+        )
+    return agg
+
+
 def shacl_shapes(
     vertices: DataFrame,
     edges: DataFrame | None = None,
@@ -180,23 +209,7 @@ def shacl_shapes(
       predicate) / conditional ``sh:minCount 1``.
     """
     attrs = attrs or {}
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for col in attrs:
-        aggs.append(F.count(F.col(col)).alias(f"_c_{col}"))
-    agg = vertices.groupBy("type").agg(*aggs)
-    if edges is not None:
-        has_out = (
-            vertices.join(
-                edges.select(F.col("src").alias("id")).dropDuplicates(["id"]),
-                "id",
-                "left_semi",
-            )
-            .groupBy("type")
-            .agg(F.count(F.lit(1)).alias("_c_out"))
-        )
-        agg = agg.join(has_out, "type", "left").withColumn(
-            "_c_out", F.coalesce(F.col("_c_out"), F.lit(0))
-        )
+    agg = _shape_stats(vertices, edges, attrs)
 
     shape = F.concat(F.lit(f"<{BASE}:shape:"), F.col("type").cast("string"))
     node_shape = agg.select(
@@ -256,6 +269,114 @@ def shacl_shapes(
             )
         )
     return out
+
+
+def shex_prefixes(namespaces: dict[str, str] | None = None) -> str:
+    """ShEx PREFIX block (ShExC syntax — ``PREFIX k: <v>``, no trailing
+    dot, unlike Turtle's ``@prefix``)."""
+    ns = dict(NAMESPACES)
+    if namespaces:
+        ns.update(namespaces)
+    return "\n".join(f"PREFIX {k}: <{v}>" for k, v in sorted(ns.items())) + "\n"
+
+
+def shex_shapes(
+    vertices: DataFrame,
+    edges: DataFrame | None = None,
+    *,
+    attrs: dict[str, str] | None = None,
+    predicate: str = "links_to",
+    threshold: float = 0.001,
+) -> DataFrame:
+    """ShEx shape expressions mined from the instance graph (the reference's
+    ``Graph.shex`` runs shexer's all-classes extraction and serializes
+    ShExC, ``graph/rdf/rdf.py:1135-1163``).
+
+    Same frequency mining as :func:`shacl_shapes` (one groupBy, O(#types)
+    rows), different serialization: per node type T one row
+    ``(shape: string, shex: string)`` where ``shex`` is the complete ShExC
+    shape declaration with deterministic constraint order (``attrs``
+    insertion order, then the edge predicate):
+
+        <urn:bdf:shape:T> {
+          <pred-uri> <xsd-datatype-or-IRI> CARD ;
+          ...
+        }
+
+    A constraint is emitted when its observed frequency ≥ ``threshold``
+    (shexer's acceptance threshold); cardinality is ``+`` (one or more)
+    exactly when the property is present on EVERY instance of the type —
+    the same total-coverage rule that drives ``sh:minCount 1`` in the SHACL
+    export — and ``*`` (zero or more) otherwise. The entire serialization
+    is a JVM-side column projection (concat/when/array_join), no driver
+    loop over shapes."""
+    attrs = attrs or {}
+    agg = _shape_stats(vertices, edges, attrs)
+
+    def constraint(pred_uri: str, value_expr: str, cnt: Column) -> Column:
+        card = F.when(cnt == F.col("_n"), F.lit("+")).otherwise(F.lit("*"))
+        return F.when(
+            cnt / F.col("_n") >= threshold,
+            F.concat(F.lit(f"  <{pred_uri}> {value_expr} "), card),
+        )
+
+    lines = []
+    for col, xsd in attrs.items():
+        pred_uri = (
+            "http://www.w3.org/2000/01/rdf-schema#label"
+            if col == "label"
+            else f"{BASE}:pred:{col}"
+        )
+        lines.append(constraint(pred_uri, f"<{_XSD}{xsd}>", F.col(f"_c_{col}")))
+    if edges is not None:
+        lines.append(constraint(f"{BASE}:pred:{predicate}", "IRI", F.col("_c_out")))
+
+    shape_uri = F.concat(F.lit(f"{BASE}:shape:"), F.col("type").cast("string"))
+    # array_join drops null entries (rejected constraints) by design
+    body = F.array_join(F.array(*lines), " ;\n") if lines else F.lit("")
+    return agg.select(
+        shape_uri.alias("shape"),
+        F.concat(
+            F.lit("<"), shape_uri, F.lit("> {\n"), body, F.lit("\n}")
+        ).alias("shex"),
+    )
+
+
+def write_shex(
+    vertices: DataFrame,
+    edges: DataFrame | None,
+    path: str,
+    *,
+    attrs: dict[str, str] | None = None,
+    predicate: str = "links_to",
+    threshold: float = 0.001,
+    namespaces: dict[str, str] | None = None,
+    max_shapes: int = 10_000,
+) -> int:
+    """Write the complete ShExC schema (PREFIX block + every mined shape,
+    sorted by shape URI) to a local file — the reference ``shex()`` file
+    artifact. The shape set is O(#node-types), so the driver-side collect is
+    bounded; ``max_shapes`` guards against a mistyped ``type`` column (e.g.
+    a unique id) turning it into a full-table collect. Returns the number of
+    shapes written."""
+    rows = (
+        shex_shapes(
+            vertices, edges, attrs=attrs, predicate=predicate, threshold=threshold
+        )
+        .orderBy("shape")
+        .limit(max_shapes + 1)
+        .collect()
+    )
+    if len(rows) > max_shapes:
+        raise ValueError(
+            f"write_shex: more than {max_shapes} shapes — is the `type` "
+            f"column actually a type (got ≥{len(rows)} distinct values)?"
+        )
+    with open(path, "w") as fh:
+        fh.write(shex_prefixes(namespaces))
+        for r in rows:
+            fh.write("\n" + r["shex"] + "\n")
+    return len(rows)
 
 
 def generate_rdf(

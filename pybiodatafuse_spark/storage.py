@@ -298,28 +298,52 @@ class Storage:
                 f"SELECT max(snapshot_id) AS s FROM {ident}.snapshots"
             ).first()
             return int(last["s"])
-        stats = self.file_stats(name)
-        df = self.read_table(spark, name)
-        n_out = max(1, -(-stats["bytes"] // target_file_bytes))  # ceil
+        # OPTIMISTIC-CONCURRENCY REWRITE (Iceberg rewrite_data_files
+        # semantics): the expensive file rewrite runs OUTSIDE the commit
+        # lock, pinned to the snapshot observed at read time; at swap time
+        # the lock re-checks that no new snapshot landed in between. Without
+        # this check a concurrent append() committing during the rewrite
+        # would stay in the log but have its rows permanently excluded from
+        # every later read (the live slice starts at the base snapshot) — a
+        # silent lost update. On conflict the orphaned rewrite dir is
+        # removed and the compaction retries against the new state.
+        import shutil
+
         base = self.table_path(name)
-        data_dir = os.path.join(base, f"snap-{uuid.uuid4().hex[:12]}")
-        df.coalesce(n_out).write.mode("overwrite").parquet(data_dir)
-        with self._commit_lock(name):
-            snaps = self.snapshots(name)
-            snap_id = (snaps[-1]["id"] + 1) if snaps else 1
-            snaps.append(
-                {
-                    "id": snap_id,
-                    "ts": datetime.now(timezone.utc).isoformat(),
-                    "dir": os.path.basename(data_dir),
-                    "base": True,
-                }
-            )
-            tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump({"format_version": 1, "snapshots": snaps}, fh)
-            os.replace(tmp, self._metadata_file(name))
-        return snap_id
+        for _attempt in range(4):
+            snaps_read = self.snapshots(name)
+            read_id = snaps_read[-1]["id"] if snaps_read else None
+            stats = self.file_stats(name)
+            df = self.read_table(
+                spark, name, snapshot_id=read_id
+            ) if read_id is not None else self.read_table(spark, name)
+            n_out = max(1, -(-stats["bytes"] // target_file_bytes))  # ceil
+            data_dir = os.path.join(base, f"snap-{uuid.uuid4().hex[:12]}")
+            df.coalesce(n_out).write.mode("overwrite").parquet(data_dir)
+            with self._commit_lock(name):
+                snaps = self.snapshots(name)
+                cur_id = snaps[-1]["id"] if snaps else None
+                if cur_id == read_id:
+                    snap_id = (snaps[-1]["id"] + 1) if snaps else 1
+                    snaps.append(
+                        {
+                            "id": snap_id,
+                            "ts": datetime.now(timezone.utc).isoformat(),
+                            "dir": os.path.basename(data_dir),
+                            "base": True,
+                        }
+                    )
+                    tmp = self._metadata_file(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as fh:
+                        json.dump({"format_version": 1, "snapshots": snaps}, fh)
+                    os.replace(tmp, self._metadata_file(name))
+                    return snap_id
+            # conflicting commit landed during the rewrite: discard and retry
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compact({name!r}): gave up after 4 attempts — a concurrent "
+            f"commit landed during every rewrite; retry when the writer quiesces"
+        )
 
     def expire_snapshots(self, name: str, *, keep_last: int = 1) -> list[int]:
         """Drop snapshot history (Iceberg ``expire_snapshots``): retain the

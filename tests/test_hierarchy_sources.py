@@ -176,6 +176,68 @@ def test_shacl_shape_mining(spark):
     assert not any("prop:extra" in r["triple"] for r in got2)
 
 
+def test_shex_shape_export(spark, tmp_path):
+    """K6 tail, part 2: ShExC serialization of the same mined shape data
+    (reference rdf.py:1135-1163 shex() via shexer). Exact text on the same
+    2-type graph as the SHACL test: cardinality `+` exactly where SHACL
+    emits sh:minCount 1, `*` otherwise, constraints in attrs-then-edge
+    order; write_shex emits PREFIX block + shapes sorted by URI."""
+    from pybiodatafuse_spark.sinks.rdf import shex_shapes, write_shex
+
+    verts = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "a"), (3, "z", "b"), (4, None, "b")],
+        "id long, label string, type string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3, 1.0, 1), (2, 4, 1.0, 1)],
+        "src long, dst long, weight double, etype int",
+    )
+    rows = {
+        r["shape"]: r["shex"]
+        for r in shex_shapes(verts, edges, attrs={"label": "string"}).collect()
+    }
+    label = "http://www.w3.org/2000/01/rdf-schema#label"
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    # type a: label on every instance (+), out-edges on every instance (+)
+    assert rows["urn:bdf:shape:a"] == (
+        "<urn:bdf:shape:a> {\n"
+        f"  <{label}> <{xsd_s}> + ;\n"
+        "  <urn:bdf:pred:links_to> IRI +\n"
+        "}"
+    )
+    # type b: label on half the instances (*), no out-edges (constraint dropped)
+    assert rows["urn:bdf:shape:b"] == (
+        "<urn:bdf:shape:b> {\n"
+        f"  <{label}> <{xsd_s}> *\n"
+        "}"
+    )
+    # never-present attr emits nothing (threshold), matching the SHACL rule
+    rows2 = shex_shapes(
+        verts.withColumn("extra", F.lit(None).cast("string")),
+        edges,
+        attrs={"extra": "string"},
+    ).collect()
+    assert not any("pred:extra" in r["shex"] for r in rows2)
+
+    # schema file: ShExC PREFIX block (no Turtle dot) + shapes sorted by URI
+    path = str(tmp_path / "schema.shex")
+    n = write_shex(verts, edges, path, attrs={"label": "string"})
+    assert n == 2
+    text = open(path).read()
+    assert "PREFIX sh: <http://www.w3.org/ns/shacl#>\n" in text
+    assert "@prefix" not in text
+    assert text.index("<urn:bdf:shape:a> {") < text.index("<urn:bdf:shape:b> {")
+    assert rows["urn:bdf:shape:a"] in text and rows["urn:bdf:shape:b"] in text
+
+    # max_shapes guard: a unique-id `type` column must refuse to collect
+    import pytest as _pytest
+
+    bad = verts.withColumn("type", F.col("id").cast("string"))
+    with _pytest.raises(ValueError, match="more than 2 shapes"):
+        write_shex(bad, edges, str(tmp_path / "x.shex"),
+                   attrs={"label": "string"}, max_shapes=2)
+
+
 def test_dea_from_excel_stdlib_fallback(spark, tmp_path):
     """S4: the .xlsx loader works WITHOUT openpyxl via the stdlib zip+XML
     fallback (reference data_loader.py:52-87 semantics: first column renamed

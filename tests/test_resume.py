@@ -158,3 +158,51 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     # appends stack on top of the base as usual
     st.append(spark.createDataFrame([(99,)], "v long"), "t")
     assert {r["v"] for r in st.read_table(spark, "t").collect()} == want | {99}
+
+
+def test_compact_retries_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency compaction (Iceberg rewrite_data_files commit
+    validation): an append that commits BETWEEN compaction's pinned read and
+    its pointer swap must never be lost. The hook lands an append right
+    after compact()'s first read resolves — the stale rewrite must be
+    detected under the lock, discarded, and retried against the new state."""
+    import os
+
+    st = Storage(str(tmp_path / "store"))
+    for lo in (0, 10):
+        st.append(
+            spark.createDataFrame([(i,) for i in range(lo, lo + 10)], "v long"),
+            "t",
+        )
+
+    orig_read = Storage.read_table
+    hooked = {"fired": False}
+
+    def read_then_race(self, spk, name, **kw):
+        df = orig_read(self, spk, name, **kw)
+        if not hooked["fired"]:
+            hooked["fired"] = True
+            # concurrent writer commits while the rewrite is in flight
+            self.append(spk.createDataFrame([(999,)], "v long"), name)
+        return df
+
+    monkeypatch.setattr(Storage, "read_table", read_then_race)
+    snap = st.compact(spark, "t")
+    monkeypatch.undo()
+
+    assert hooked["fired"]
+    # the racing append's rows survive the compaction
+    got = {r["v"] for r in st.read_table(spark, "t").collect()}
+    assert got == set(range(20)) | {999}
+    # the committed base snapshot sits on top of the racing append
+    snaps = st.snapshots("t")
+    assert snaps[-1]["id"] == snap and snaps[-1].get("base") is True
+    assert [s["id"] for s in snaps] == [1, 2, 3, 4]
+    # the abandoned first rewrite dir was cleaned up: only referenced dirs
+    live_dirs = {s["dir"] for s in snaps}
+    on_disk = {
+        d for d in os.listdir(st.table_path("t")) if os.path.isdir(
+            os.path.join(st.table_path("t"), d)
+        )
+    }
+    assert on_disk == live_dirs
