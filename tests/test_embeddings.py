@@ -68,3 +68,42 @@ def test_init_vectors_deterministic_and_scaled():
     b = init_vectors(ids, 16)
     assert (a == b).all()
     assert np.abs(a).max() <= 0.5 / 16
+
+
+def test_embeddings_separate_four_communities_10x(spark):
+    """q43 property at ~10x the two-clique fixture: four 8-cliques with no
+    cross edges — for EVERY pair of cliques, mean within-clique cosine must
+    exceed mean cross-pair cosine. Community recovery evidence that does not
+    rest on the single 12-node fixture above."""
+    bases = (0, 100, 200, 300)
+    rows = []
+    for base in bases:
+        for a in range(base, base + 8):
+            for b in range(base, base + 8):
+                if a != b:
+                    rows.append((a, b, 1.0, 1))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double, etype int")
+    starts = edges.select(F.col("src").alias("id")).distinct()
+    walks = random_walks(spark, edges, starts, num_walks=3, walk_length=6)
+    emb = skipgram_embeddings(
+        spark, walks, dim=16, epochs=2, window=2, negatives=2, partitions=4
+    )
+    vecs = {r["id"]: np.array(r["vector"]) for r in emb.collect()}
+    assert set(vecs) == {b + i for b in bases for i in range(8)}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    def mean_within(base):
+        ids = [base + i for i in range(8)]
+        return np.mean([cos(vecs[i], vecs[j]) for i in ids for j in ids if i < j])
+
+    def mean_across(b1, b2):
+        ids1 = [b1 + i for i in range(8)]
+        ids2 = [b2 + i for i in range(8)]
+        return np.mean([cos(vecs[i], vecs[j]) for i in ids1 for j in ids2])
+
+    for k, b1 in enumerate(bases):
+        for b2 in bases[k + 1:]:
+            assert mean_within(b1) > mean_across(b1, b2) + 0.05, (b1, b2)
+            assert mean_within(b2) > mean_across(b1, b2) + 0.05, (b1, b2)

@@ -271,3 +271,147 @@ def test_weighted_sim_teleport_matches_oracle(spark):
                 1 for k in range(2, 9) if h64(f"{wid}#{k}#tp") / S < 0.3
             )
     assert n_tp > 0
+
+
+# ---------------------------------------------------------------------------
+# Property assertions on larger fixtures (round-5 hardening): the exact-oracle
+# tests above pin semantics on tiny graphs; these make sure the evidence does
+# not rest on a single 5-vertex fixture — a 10x deterministic graph matched
+# exactly, plus distributional (binomial-bound) checks that the hash-based
+# randomness actually samples the intended transition distribution, which an
+# exact-match test (sharing the same hash) can never establish.
+# ---------------------------------------------------------------------------
+
+
+def test_walk_first_step_frequencies_binomial(spark):
+    """q36 distributional property: over N walks from a hub with 8 neighbors
+    of weights 1..8, the first-step transition counts must sit within 4.5
+    sigma of Binomial(N, w_d / sum(w)). Deterministic (hash randomness), so
+    this either always passes or flags a real sampling-distribution bug."""
+    from pybiodatafuse_spark.plans.walks import random_walks
+
+    n_walks, weights = 4000, list(range(1, 9))
+    total_w = float(sum(weights))
+    edges = spark.createDataFrame(
+        [(0, d, float(d), 1) for d in weights],
+        "src long, dst long, weight double, etype int",
+    )
+    starts = spark.createDataFrame([(0,)], "id long")
+    paths = random_walks(
+        spark, edges, starts, num_walks=n_walks, walk_length=1
+    ).collect()
+    assert len(paths) == n_walks
+    counts: dict[int, int] = {}
+    for r in paths:
+        counts[r["path"][1]] = counts.get(r["path"][1], 0) + 1
+    for d in weights:
+        p = d / total_w
+        mean, sigma = n_walks * p, (n_walks * p * (1 - p)) ** 0.5
+        assert abs(counts.get(d, 0) - mean) <= 4.5 * sigma, (
+            d, counts.get(d, 0), mean, sigma,
+        )
+
+
+def test_biased_walk_matrix_frequencies_binomial(spark):
+    """q44 distributional property: after a type-0 edge, the etype matrix
+    M[0] = [0.8, 0.2] must steer equal-weight candidates 80/20 — second-step
+    counts within 4.5 sigma of Binomial(N, 0.8)."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    es = [(0, 1, 1.0, 0), (1, 2, 1.0, 0), (1, 3, 1.0, 1)]
+    M = [[0.8, 0.2], [0.5, 0.5]]
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    starts = spark.createDataFrame([(0,)], "id long")
+    n_walks = 4000
+    paths = biased_random_walks(
+        spark, edges, starts, M, num_walks=n_walks, walk_length=2
+    ).collect()
+    assert len(paths) == n_walks
+    n2 = sum(1 for r in paths if list(r["path"]) == [0, 1, 2])
+    n3 = sum(1 for r in paths if list(r["path"]) == [0, 1, 3])
+    assert n2 + n3 == n_walks
+    mean, sigma = n_walks * 0.8, (n_walks * 0.8 * 0.2) ** 0.5
+    assert abs(n2 - mean) <= 4.5 * sigma, (n2, mean, sigma)
+
+
+def _graph_10x():
+    """Deterministic 60-vertex / 240-edge graph (10x the oracle fixtures):
+    v -> (7v+k) % 60 for k in 1..4, weight ((v+k) % 5)+1, etype (v+k) % 2.
+    No self-loops (6v+k is never 0 mod 60 for k in 1..4), no duplicates."""
+    es = []
+    for v in range(60):
+        for k in range(1, 5):
+            es.append((v, (7 * v + k) % 60, float((v + k) % 5 + 1), (v + k) % 2))
+    sim = [
+        (v, (11 * v + 3) % 60, float(v % 3 + 1)) for v in range(0, 60, 4)
+    ]
+    return es, sim
+
+
+def test_walks_match_oracle_10x_fixture(spark):
+    """q36 at 10x: 120 walks of length 8 on the 60-vertex graph match the
+    pure-Python oracle path-for-path."""
+    from pybiodatafuse_spark.plans.walks import random_walks
+
+    es, _ = _graph_10x()
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    starts = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in random_walks(spark, edges, starts, num_walks=2, walk_length=8).collect()
+    }
+    adj: dict = {}
+    for a, b, w, _t in es:
+        adj.setdefault(a, []).append((b, w))
+    for a in adj:
+        adj[a].sort()
+    assert len(got) == 120
+    for start in range(60):
+        for w in range(2):
+            wid = start * 2 + w
+            assert got[wid] == oracle_walk(adj, wid, start, 8), wid
+
+
+def test_biased_walks_match_oracle_10x_fixture(spark):
+    """q44/q48 at 10x: 120 biased walks (p/q second-order + etype matrix +
+    weighted sim-graph teleport) on the 60-vertex graph match the full
+    DREAMwalk oracle path-for-path."""
+    from pybiodatafuse_spark.plans.walks import biased_random_walks
+
+    es, sim = _graph_10x()
+    M = [[0.7, 0.3], [0.1, 0.9]]
+    edges = spark.createDataFrame(es, "src long, dst long, weight double, etype int")
+    sim_edges = spark.createDataFrame(sim, "src long, dst long, weight double")
+    starts = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in biased_random_walks(
+            spark, edges, starts, M, num_walks=2, walk_length=8,
+            p=0.5, q=2.0, teleport=0.25, sim_edges=sim_edges,
+        ).collect()
+    }
+    adj, nbrsets, sim_adj = {}, {}, {}
+    for a, b, w, t in es:
+        adj.setdefault(a, []).append((b, w, t))
+        nbrsets.setdefault(a, set()).add(b)
+        nbrsets.setdefault(b, set()).add(a)
+    for a in adj:
+        adj[a].sort()
+    for a, b, w in sim:
+        sim_adj.setdefault(a, []).append((b, w))
+    for a in sim_adj:
+        sim_adj[a].sort()
+    assert len(got) == 120
+    n_tp = 0
+    for start in range(60):
+        for w in range(2):
+            wid = start * 2 + w
+            want = oracle_dreamwalk(
+                adj, nbrsets, sim_adj, wid, start, 8, M, 0.5, 2.0, 0.25
+            )
+            assert got[wid] == want, (wid, got[wid], want)
+            S = float(1 << 60)
+            n_tp += sum(
+                1 for k in range(2, 9) if h64(f"{wid}#{k}#tp") / S < 0.25
+            )
+    assert n_tp > 0  # teleports actually exercised
