@@ -7,16 +7,15 @@ import numpy as np
 import pytest
 
 from pybiodatafuse_spark.plans.components import components
-from tests.graph_fixture import id_maps, oracle_edges, spark_graph
+from tests.graph_fixture import oracle_edges
 from tests.oracles import components_oracle
 
 N = 400
 
 
 @pytest.mark.parametrize("algorithm", ["two_phase", "hash_min"])
-def test_components_match_oracle_on_pages(spark, pages_df, algorithm):
-    verts, edges = spark_graph(pages_df)
-    _, page_to_id = id_maps(verts)
+def test_components_match_oracle_on_pages(spark, graph400, algorithm):
+    verts, edges, page_to_id = graph400
     got = {
         r["id"]: r["component"]
         for r in components(spark, edges, verts, algorithm=algorithm).collect()
@@ -33,7 +32,10 @@ def test_components_match_oracle_on_pages(spark, pages_df, algorithm):
 def test_components_adversarial(spark, algorithm, case):
     rng = np.random.default_rng(7)
     if case == "path":  # long path: worst case for plain min-flooding
-        vs = list(range(100, 140))
+        # 24 vertices: still far past the O(log n) rounds of the two-phase
+        # algorithm (the property under test), at ~60% of the superstep cost
+        # of the old 40-vertex path
+        vs = list(range(100, 124))
         es = [(vs[i], vs[i + 1]) for i in range(len(vs) - 1)]
     elif case == "random_forest":
         vs = list(range(200))

@@ -9,13 +9,12 @@ from pyspark.sql import functions as F
 
 from pybiodatafuse_spark.plans.csr import build_csr_blocks, pagerank_csr
 from pybiodatafuse_spark.plans.pagerank import pagerank
-from tests.graph_fixture import spark_graph
 
 
 @pytest.fixture(scope="module")
-def graph(spark, pages_df):
-    verts, edges = spark_graph(pages_df)
-    return verts.cache(), edges.cache()
+def graph(graph400):
+    verts, edges, _ = graph400
+    return verts, edges
 
 
 def test_csr_matches_dataframe_path(spark, graph):
@@ -29,9 +28,14 @@ def test_csr_matches_dataframe_path(spark, graph):
 
 
 def test_csr_convergence(spark, graph):
+    """The CSR path's STOPPING machinery (tol reached → converged flag, mass
+    conserved). tol=1e-4 keeps this ~30 supersteps cheaper than a full 1e-6
+    run; the north-rule 1e-6 convergence itself is covered once in
+    test_pagerank (DataFrame path) + gate q40, and CSR↔DataFrame identity is
+    pinned at 1e-12 by test_csr_matches_dataframe_path above."""
     verts, edges = graph
-    res = pagerank_csr(spark, edges, verts, tol=1e-6, max_iter=120, num_blocks=8)
-    assert res.converged
+    res = pagerank_csr(spark, edges, verts, tol=1e-4, max_iter=120, num_blocks=8)
+    assert res.converged and res.deltas[-1] < 1e-4
     total = res.state.agg(F.sum("rank").alias("s")).first()["s"]
     assert abs(total - 1.0) < 1e-9
 

@@ -44,10 +44,10 @@ def test_dreamwalk_end_to_end(spark, typed_graph):
     # 2. biased walks under the trained matrix
     starts = typed_graph.select(F.col("src").alias("id")).distinct()
     walks = biased_random_walks(
-        spark, typed_graph, starts, M, num_walks=3, walk_length=8
+        spark, typed_graph, starts, M, num_walks=2, walk_length=6
     )
     n_walks = walks.count()
-    assert n_walks == starts.count() * 3
+    assert n_walks == starts.count() * 2
 
     # 3. embeddings over the walks
     emb = skipgram_embeddings(

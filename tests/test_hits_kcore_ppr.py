@@ -9,20 +9,15 @@ from urllib.parse import urlsplit
 import pytest
 from pyspark.sql import functions as F
 
-from tests.graph_fixture import id_maps, oracle_edges, spark_graph
+from tests.graph_fixture import oracle_edges
 from tests.oracles import hits_oracle, k_core_oracle, ppr_oracle
 
 N = 400
 
 
 @pytest.fixture(scope="module")
-def graph(spark, pages_df):
-    verts, edges = spark_graph(pages_df)
-    edges = edges.cache()
-    verts = verts.cache()
-    edges.count()
-    _, page_to_id = id_maps(verts)
-    return verts, edges, page_to_id
+def graph(graph400):
+    return graph400
 
 
 def test_hits_fixed_iterations(spark, graph):
@@ -108,13 +103,13 @@ def test_personalized_pagerank(spark, graph):
         [(i,) for i in sorted(seed_ids)], "id long"
     )
     res = pagerank(
-        spark, edges, verts, tol=None, max_iter=15, hub_threshold=5,
+        spark, edges, verts, tol=None, max_iter=10, hub_threshold=5,
         reset=seeds_df,
     )
     got = {r["id"]: r["rank"] for r in res.state.collect()}
     want = ppr_oracle(
         oracle_edges(N, page_to_id), set(page_to_id.values()), seed_ids,
-        max_iter=15,
+        max_iter=10,
     )
     for v, r in want.items():
         assert got[v] == pytest.approx(r, abs=1e-9)

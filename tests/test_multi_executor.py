@@ -48,7 +48,7 @@ spark.stop()
 """
 
 
-@pytest.mark.slow
+@pytest.mark.slow_e2e
 def test_pipeline_on_two_executor_jvms(tmp_path):
     zip_path = os.path.join(REPO, "dist", "pybiodatafuse_spark.zip")
     if not os.path.exists(zip_path):

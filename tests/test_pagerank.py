@@ -18,20 +18,15 @@ from pyspark.sql import functions as F
 
 from pybiodatafuse_spark.plans.pagerank import pagerank, top_ranks
 from pybiodatafuse_spark.storage import Storage, new_run_id
-from tests.graph_fixture import id_maps, oracle_edges, spark_graph
+from tests.graph_fixture import oracle_edges
 from tests.oracles import pagerank_oracle
 
 N = 400
 
 
 @pytest.fixture(scope="module")
-def graph(spark, pages_df):
-    verts, edges = spark_graph(pages_df)
-    edges = edges.cache()
-    verts = verts.cache()
-    edges.count()
-    _, page_to_id = id_maps(verts)
-    return verts, edges, page_to_id
+def graph(graph400):
+    return graph400
 
 
 @pytest.fixture(scope="module")
@@ -84,10 +79,10 @@ def test_top_ranks_hub_first(spark, converged, graph):
 def test_salting_does_not_change_result(spark, graph):
     verts, edges, _ = graph
     unsalted = pagerank(
-        spark, edges, verts, tol=None, max_iter=8, hub_threshold=10**9, num_salts=1
+        spark, edges, verts, tol=None, max_iter=6, hub_threshold=10**9, num_salts=1
     )
     salted = pagerank(
-        spark, edges, verts, tol=None, max_iter=8, hub_threshold=2, num_salts=4
+        spark, edges, verts, tol=None, max_iter=6, hub_threshold=2, num_salts=4
     )
     a = {r["id"]: r["rank"] for r in unsalted.state.select("id", "rank").collect()}
     b = {r["id"]: r["rank"] for r in salted.state.select("id", "rank").collect()}
@@ -147,17 +142,17 @@ def test_warm_start_with_new_vertices_matches_cold(spark, graph, converged):
         "src long, dst long, weight double, etype int",
     )
     grown = edges.select("src", "dst", "weight", "etype").unionByName(extra)
-    cold = pagerank(spark, grown, tol=1e-5, max_iter=200, hub_threshold=5)
+    cold = pagerank(spark, grown, tol=1e-4, max_iter=200, hub_threshold=5)
     warmr = pagerank(
-        spark, grown, tol=1e-5, max_iter=200, hub_threshold=5,
+        spark, grown, tol=1e-4, max_iter=200, hub_threshold=5,
         init_ranks=base.state.select("id", "rank"),
     )
     cold_got = {r["id"]: r["rank"] for r in cold.state.collect()}
     warm_got = {r["id"]: r["rank"] for r in warmr.state.collect()}
     assert cold_got.keys() == warm_got.keys()
-    # both runs stop at L1 delta < 1e-5, so the two fixpoint approximations
+    # both runs stop at L1 delta < 1e-4, so the two fixpoint approximations
     # agree to ~tol/(1-d); the warm start must land there in fewer steps
-    assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-4
+    assert max(abs(cold_got[k] - warm_got[k]) for k in cold_got) < 1e-3
     assert warmr.supersteps < cold.supersteps
 
 
@@ -176,7 +171,7 @@ def test_incremental_snapshot_rerank_end_to_end(spark, tmp_path):
     snap1 = st.append(e1, "edges")
     base = pagerank(
         spark, st.read_table(spark, "edges", snapshot_id=snap1),
-        tol=1e-8, max_iter=200, hub_threshold=5,
+        tol=1e-6, max_iter=200, hub_threshold=5,
     )
     delta = spark.createDataFrame(
         [(i, (i + 7) % 30, 1.0, 1) for i in range(0, 30, 3)],
@@ -191,10 +186,10 @@ def test_incremental_snapshot_rerank_end_to_end(spark, tmp_path):
         1 for i in range(0, 30, 3) if (i + 7) % 30 == (i + 1) % 30
     )
     warm = pagerank(
-        spark, new, tol=1e-8, max_iter=200, hub_threshold=5,
+        spark, new, tol=1e-6, max_iter=200, hub_threshold=5,
         init_ranks=base.state.select("id", "rank"),
     )
-    cold = pagerank(spark, new, tol=1e-8, max_iter=200, hub_threshold=5)
+    cold = pagerank(spark, new, tol=1e-6, max_iter=200, hub_threshold=5)
     wg = {r["id"]: r["rank"] for r in warm.state.collect()}
     cg = {r["id"]: r["rank"] for r in cold.state.collect()}
-    assert max(abs(wg[k] - cg[k]) for k in cg) < 1e-6
+    assert max(abs(wg[k] - cg[k]) for k in cg) < 1e-4

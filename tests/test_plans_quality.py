@@ -98,13 +98,20 @@ def test_superstep_edge_side_never_reshuffles(spark):
 
 
 def test_whole_stage_codegen_in_agg(spark, pages_path):
-    df = (
-        spark.read.parquet(pages_path)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    df.collect()  # AQE: codegen ids appear in the FINAL plan only
-    assert "[codegen id :" in _fmt(df)  # agg runs inside WholeStageCodegen spans
+    # the session fixture disables codegen for suite speed; this gate is
+    # ABOUT codegen, so flip it on for the duration of this one plan
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        df = (
+            spark.read.parquet(pages_path)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()  # AQE: codegen ids appear in the FINAL plan only
+        # agg runs inside WholeStageCodegen spans
+        assert "[codegen id :" in _fmt(df)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
 def test_em_sample_filter_below_wedge_join(spark, tmp_path):

@@ -23,7 +23,7 @@ edge_sets = st.sets(
 )
 
 _SETTINGS = settings(
-    max_examples=6,
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -3,6 +3,7 @@ checkpoint, final state matches the uninterrupted run."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pybiodatafuse_spark.plans.pagerank import pagerank
@@ -10,6 +11,7 @@ from pybiodatafuse_spark.storage import Storage, new_run_id
 from tests.graph_fixture import spark_graph
 
 
+@pytest.mark.slow_e2e
 def test_interrupt_and_resume_matches_uninterrupted(spark, pages_df, tmp_path):
     verts, edges = spark_graph(pages_df)
     edges = edges.cache()

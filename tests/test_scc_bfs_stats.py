@@ -265,7 +265,7 @@ def test_scc_long_cycle_no_silent_split(spark):
     component into singletons."""
     from pybiodatafuse_spark.plans.scc import strongly_connected_components
 
-    n = 14
+    n = 10  # well past the max_inner=5 cap below; fixpoint needs ~n rounds
     cyc = [(i, (i + 1) % n) for i in range(n)]
     got = {
         r["id"]: r["scc"]

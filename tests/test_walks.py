@@ -226,7 +226,7 @@ def test_node2vec_pq_walks_match_oracle(spark):
         got = {
             r["walk_id"]: list(r["path"])
             for r in biased_random_walks(
-                spark, edges, starts, M, num_walks=2, walk_length=7, p=p, q=q
+                spark, edges, starts, M, num_walks=2, walk_length=5, p=p, q=q
             ).collect()
         }
         assert len(got) == 12
@@ -234,7 +234,7 @@ def test_node2vec_pq_walks_match_oracle(spark):
             for w in range(2):
                 wid = start * 2 + w
                 want = oracle_dreamwalk(
-                    adj, nbrsets, {}, wid, start, 7, M, p, q, 0.0
+                    adj, nbrsets, {}, wid, start, 5, M, p, q, 0.0
                 )
                 assert got[wid] == want, (p, q, wid, got[wid], want)
 
@@ -252,7 +252,7 @@ def test_weighted_sim_teleport_matches_oracle(spark):
     got = {
         r["walk_id"]: list(r["path"])
         for r in biased_random_walks(
-            spark, edges, starts, M, num_walks=3, walk_length=8,
+            spark, edges, starts, M, num_walks=3, walk_length=6,
             p=0.5, q=2.0, teleport=0.3, sim_edges=sim_edges,
         ).collect()
     }
@@ -262,13 +262,13 @@ def test_weighted_sim_teleport_matches_oracle(spark):
         for w in range(3):
             wid = start * 3 + w
             want = oracle_dreamwalk(
-                adj, nbrsets, sim_adj, wid, start, 8, M, 0.5, 2.0, 0.3
+                adj, nbrsets, sim_adj, wid, start, 6, M, 0.5, 2.0, 0.3
             )
             assert got[wid] == want, (wid, got[wid], want)
             # count teleports the oracle takes so the test is known non-vacuous
             S = float(1 << 60)
             n_tp += sum(
-                1 for k in range(2, 9) if h64(f"{wid}#{k}#tp") / S < 0.3
+                1 for k in range(2, 7) if h64(f"{wid}#{k}#tp") / S < 0.3
             )
     assert n_tp > 0
 
